@@ -1,0 +1,280 @@
+"""EfficientDet-Lite detector (Flax, NHWC): backbone + BiFPN + heads +
+fixed-shape postprocess.
+
+Replaces the reference's opaque `edetlite4` TF SavedModel served by Triton
+(`models/conv.py:15-18`, README model repo). Its output contract is kept:
+  detection_boxes  [100, 4] pixel yxyx,
+  detection_scores [100],
+  detection_classes[100] 1-based COCO ids (person == 1.0, conv.py:22)
+so the fused pipeline's person-filter/top-3 stage consumes identical
+tensors. Architecture: EfficientNet-Lite4 trunk, BiFPN (224 ch x 7 repeats,
+unweighted-sum fusion, ReLU6 — the lite flavor), 4-repeat separable-conv
+class/box heads over P3..P7, 9 anchors/cell, sigmoid scores, class-wise NMS
+via the shared fixed-shape `ops.nms`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from human_body_proportion_estimation_tpu.models.anchors import (
+    AnchorConfig,
+    decode_boxes,
+    generate_anchors,
+)
+from human_body_proportion_estimation_tpu.models.efficientnet_lite import (
+    LITE0,
+    LITE4,
+    EfficientNetLite,
+    EfficientNetLiteConfig,
+    relu6,
+)
+from human_body_proportion_estimation_tpu.models.layers import (
+    ConvBN,
+    SeparableConvBN,
+)
+from human_body_proportion_estimation_tpu.ops import nms as nms_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class EfficientDetConfig:
+    backbone: EfficientNetLiteConfig = LITE4
+    fpn_channels: int = 224
+    fpn_repeats: int = 7
+    head_repeats: int = 4
+    num_classes: int = 90
+    anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
+    max_detections: int = 100
+
+
+EFFICIENTDET_LITE4 = EfficientDetConfig()
+EFFICIENTDET_LITE0 = EfficientDetConfig(
+    backbone=LITE0, fpn_channels=64, fpn_repeats=3, head_repeats=3
+)
+
+
+def _maxpool2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+
+class ResampleDown(nn.Module):
+    """1x1 channel adapt + stride-2 maxpool (P5 -> P6 -> P7)."""
+
+    features: int
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.features:
+            x = ConvBN(self.features, 1, 1, act=None, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="adapt")(x, train)
+        return _maxpool2(x)
+
+
+class BiFPNLayer(nn.Module):
+    """One bidirectional FPN pass (top-down then bottom-up), sum fusion.
+
+    Lite models replace the weighted fast-attention fusion with plain sums
+    (quantization-friendly); each fused node is relu6 -> separable conv+BN.
+    """
+
+    features: int
+    dtype: Any
+    param_dtype: Any
+
+    def _node(self, name):
+        return SeparableConvBN(
+            self.features, act=None, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+
+    @nn.compact
+    def __call__(self, feats: List[jax.Array], train: bool = False):
+        n = len(feats)  # P3..P7
+        # top-down: P6' = conv(relu6(P6 + up(P7))) ... down to P3'
+        td = [None] * n
+        td[n - 1] = feats[n - 1]
+        for i in range(n - 2, -1, -1):
+            # nearest-resize to the exact target level shape: with non-even
+            # level dims (e.g. 480 input -> P5 15x20, P6 8x10) a fixed
+            # factor-2 upsample overshoots by one row/col
+            up = jax.image.resize(
+                td[i + 1], td[i + 1].shape[:1] + feats[i].shape[1:3]
+                + td[i + 1].shape[3:], method="nearest",
+            )
+            td[i] = self._node(f"td_{i}")(relu6(feats[i] + up), train)
+        # bottom-up: P4'' = conv(relu6(P4 + P4' + down(P3'')))
+        out = [None] * n
+        out[0] = td[0]
+        for i in range(1, n):
+            down = _maxpool2(out[i - 1])
+            s = td[i] + down
+            if i < n - 1:
+                s = s + feats[i]  # original skip (not at the ends)
+            out[i] = self._node(f"bu_{i}")(relu6(s), train)
+        return out
+
+
+class HeadNet(nn.Module):
+    """Class/box head: repeated separable convs with weights SHARED across
+    pyramid levels but BatchNorm statistics per level (official EfficientDet
+    head structure), then a shared final prediction conv."""
+
+    out_channels: int
+    repeats: int
+    features: int
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, feats: List[jax.Array], train: bool = False):
+        # instantiate shared conv modules once; reusing the same instance
+        # across levels ties their parameters in flax
+        dw = [
+            nn.Conv(self.features, (3, 3), padding="SAME",
+                    feature_group_count=self.features, use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"dw{r}")
+            for r in range(self.repeats)
+        ]
+        pw = [
+            nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"pw{r}")
+            for r in range(self.repeats)
+        ]
+        predict_dw = nn.Conv(
+            self.features, (3, 3), padding="SAME",
+            feature_group_count=self.features, use_bias=False,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="predict_dw",
+        )
+        predict_pw = nn.Conv(
+            self.out_channels, (1, 1), use_bias=True, dtype=jnp.float32,
+            param_dtype=self.param_dtype, name="predict_pw",
+        )
+
+        outs = []
+        for li, x in enumerate(feats):
+            if x.shape[-1] != self.features:
+                raise ValueError("head input channels must equal fpn channels")
+            for r in range(self.repeats):
+                x = pw[r](dw[r](x))
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-3, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"bn{r}_l{li}",
+                )(x)
+                x = relu6(x)
+            x = predict_pw(predict_dw(x).astype(jnp.float32))
+            outs.append(x)
+        return outs
+
+
+class EfficientDet(nn.Module):
+    """[B, H, W, 3] uint8/float image -> per-anchor class logits + box regs.
+
+    Raw head outputs (level-major flattened) are returned; `postprocess`
+    turns them into the reference-parity 100-slot detection tensors.
+    """
+
+    config: EfficientDetConfig = EFFICIENTDET_LITE4
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        cfg = self.config
+        x = images.astype(jnp.float32)
+        # automl lite preprocessing: scale to [-1, 1]
+        x = (x - 127.0) / 128.0
+
+        c3, c4, c5 = EfficientNetLite(
+            cfg.backbone, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="backbone",
+        )(x, train)
+
+        dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        feats = [
+            ConvBN(cfg.fpn_channels, 1, 1, act=None, name="lateral_p3", **dt)(c3, train),
+            ConvBN(cfg.fpn_channels, 1, 1, act=None, name="lateral_p4", **dt)(c4, train),
+            ConvBN(cfg.fpn_channels, 1, 1, act=None, name="lateral_p5", **dt)(c5, train),
+        ]
+        p6 = ResampleDown(cfg.fpn_channels, name="p6_down", **dt)(c5, train)
+        p7 = ResampleDown(cfg.fpn_channels, name="p7_down", **dt)(p6, train)
+        feats += [p6, p7]
+
+        for i in range(cfg.fpn_repeats):
+            feats = BiFPNLayer(
+                cfg.fpn_channels, name=f"bifpn{i}", **dt
+            )(feats, train)
+
+        na = cfg.anchors.anchors_per_cell
+        cls_out = HeadNet(
+            na * cfg.num_classes, cfg.head_repeats, cfg.fpn_channels,
+            name="class_net", **dt,
+        )(feats, train)
+        box_out = HeadNet(
+            na * 4, cfg.head_repeats, cfg.fpn_channels, name="box_net", **dt
+        )(feats, train)
+
+        b = images.shape[0]
+        cls_flat = jnp.concatenate(
+            [o.reshape(b, -1, cfg.num_classes) for o in cls_out], axis=1
+        )
+        box_flat = jnp.concatenate(
+            [o.reshape(b, -1, 4) for o in box_out], axis=1
+        )
+        return cls_flat, box_flat
+
+
+def postprocess(
+    cls_logits: jax.Array,
+    box_regs: jax.Array,
+    image_hw: tuple[int, int],
+    config: EfficientDetConfig = EFFICIENTDET_LITE4,
+    score_threshold: float = 0.0,
+    iou_threshold: float = 0.5,
+    top_k: int = 512,
+):
+    """Raw head outputs -> reference-parity detection tensors for one image.
+
+    Returns (boxes [100,4] pixel yxyx, scores [100], classes [100] 1-based,
+    valid [100]) — mirroring the served SavedModel outputs consumed at
+    `models/conv.py:16-18`. Fixed-shape: score-topk + masked NMS.
+    """
+    anchors = jnp.asarray(generate_anchors(config.anchors, *image_hw))
+    scores_all = jax.nn.sigmoid(cls_logits)          # [N, C]
+    best_score = jnp.max(scores_all, axis=-1)
+    best_class = jnp.argmax(scores_all, axis=-1)
+
+    boxes_yxyx = decode_boxes(box_regs, anchors)
+    h, w = image_hw
+    boxes_yxyx = jnp.stack(
+        [
+            jnp.clip(boxes_yxyx[:, 0], 0, h),
+            jnp.clip(boxes_yxyx[:, 1], 0, w),
+            jnp.clip(boxes_yxyx[:, 2], 0, h),
+            jnp.clip(boxes_yxyx[:, 3], 0, w),
+        ],
+        axis=-1,
+    )
+    # nms ops expect xyxy; swap, run class-wise NMS, swap back
+    boxes_xyxy = boxes_yxyx[:, jnp.array([1, 0, 3, 2])]
+    masked_scores = jnp.where(best_score > score_threshold, best_score, 0.0)
+    res = nms_ops.nms_fixed(
+        boxes_xyxy,
+        masked_scores,
+        iou_threshold=iou_threshold,
+        max_det=config.max_detections,
+        top_k=top_k,
+        classes=best_class.astype(jnp.float32),
+        class_agnostic=False,
+    )
+    out_yxyx = res.boxes[:, jnp.array([1, 0, 3, 2])]
+    classes_1based = jnp.where(res.valid, res.classes + 1.0, 0.0)
+    return out_yxyx, res.scores, classes_1based, res.valid

@@ -1,0 +1,205 @@
+"""HRNet top-down pose estimation model (Flax, NHWC, bf16 on the MXU).
+
+The reference serves an opaque HRNet/HigherHRNet engine inside Triton and
+only touches its I/O contract: input [B, 3, 384, 288] RGB in [0,1]
+(`pose_est_hrnet_trtserver.py:15-19`), output 17 COCO-keypoint heatmaps
+[B, 17, 96, 72] named "output" (`pose_est_hrnet_trtserver.py:22-28`,
+`person_det_pose_edet4_trtserver.py:23`). This module implements the
+standard HRNet-W32/W48 pose architecture (Sun et al., CVPR'19 "Deep
+High-Resolution Representation Learning") natively in Flax so the forward
+pass jit-compiles into the fused pipeline program:
+
+  stem (2x stride-2 3x3)  -> 1/4 resolution
+  layer1: 4 bottlenecks   -> 256 ch
+  stage2: 2 branches [W, 2W],        1 module  x 4 basic blocks
+  stage3: 3 branches [W, 2W, 4W],    4 modules x 4 basic blocks
+  stage4: 4 branches [W..8W],        3 modules x 4 basic blocks
+  head: 1x1 conv -> num_keypoints heatmaps on the 1/4-res branch
+
+Multi-resolution fusion: every module ends with a full exchange — each
+output branch sums transformed versions of all input branches (1x1 conv +
+nearest-upsample for coarser, chained stride-2 3x3 convs for finer).
+
+I/O convention here is NHWC ([B, 384, 288, 3] -> [B, 96, 72, 17]); the
+pipeline transposes only at the reference-parity surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from human_body_proportion_estimation_tpu.models.layers import (
+    BasicBlock,
+    Bottleneck,
+    ConvBN,
+    upsample_nearest,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HRNetConfig:
+    width: int = 32                 # W32 / W48
+    num_keypoints: int = 17
+    stage_modules: Tuple[int, int, int] = (1, 4, 3)   # stages 2,3,4
+    blocks_per_branch: int = 4
+    stem_channels: int = 64
+    bottleneck_channels: int = 64   # layer1, expansion 4 -> 256 out
+
+    @property
+    def branch_channels(self) -> Tuple[Tuple[int, ...], ...]:
+        w = self.width
+        return ((w, 2 * w), (w, 2 * w, 4 * w), (w, 2 * w, 4 * w, 8 * w))
+
+
+HRNET_W32 = HRNetConfig(width=32)
+HRNET_W48 = HRNetConfig(width=48)
+
+
+class FuseLayer(nn.Module):
+    """Full multi-resolution exchange across branches."""
+
+    channels: Sequence[int]
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        n = len(self.channels)
+        outs = []
+        for i in range(n):
+            acc = None
+            for j in range(n):
+                if j == i:
+                    y = xs[j]
+                elif j > i:
+                    # coarser -> finer: 1x1 conv + BN, nearest upsample 2^(j-i)
+                    y = ConvBN(
+                        self.channels[i], 1, 1, act=None, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"up_{j}_{i}",
+                    )(xs[j], train)
+                    y = upsample_nearest(y, 2 ** (j - i))
+                else:
+                    # finer -> coarser: chained stride-2 3x3 convs; ReLU
+                    # between steps, none on the last (official HRNet).
+                    y = xs[j]
+                    for step in range(i - j):
+                        last = step == i - j - 1
+                        y = ConvBN(
+                            self.channels[i] if last else self.channels[j],
+                            3, 2,
+                            act=None if last else nn.relu,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"down_{j}_{i}_{step}",
+                        )(y, train)
+                acc = y if acc is None else acc + y
+            outs.append(nn.relu(acc))
+        return outs
+
+
+class HRModule(nn.Module):
+    """One HRNet module: per-branch basic blocks, then fusion."""
+
+    channels: Sequence[int]
+    num_blocks: int
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        ys = []
+        for b, ch in enumerate(self.channels):
+            y = xs[b]
+            for k in range(self.num_blocks):
+                y = BasicBlock(
+                    ch, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"branch{b}_block{k}",
+                )(y, train)
+            ys.append(y)
+        return FuseLayer(
+            self.channels, self.dtype, self.param_dtype, name="fuse"
+        )(ys, train)
+
+
+class Transition(nn.Module):
+    """Grow the branch set between stages; new branch = stride-2 conv of
+    the coarsest, existing branches get a 3x3 conv only on channel change."""
+
+    in_channels: Sequence[int]
+    out_channels: Sequence[int]
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        outs = []
+        for i, ch in enumerate(self.out_channels):
+            if i < len(self.in_channels):
+                if self.in_channels[i] != ch:
+                    outs.append(
+                        ConvBN(ch, 3, 1, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name=f"adapt_{i}")(xs[i], train)
+                    )
+                else:
+                    outs.append(xs[i])
+            else:
+                outs.append(
+                    ConvBN(ch, 3, 2, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name=f"new_{i}")(xs[-1], train)
+                )
+        return outs
+
+
+class HRNet(nn.Module):
+    """Pose HRNet: [B, H, W, 3] in [0,1] -> [B, H/4, W/4, K] heatmaps."""
+
+    config: HRNetConfig = HRNET_W32
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x.astype(self.dtype)
+
+        x = ConvBN(cfg.stem_channels, 3, 2, name="stem1", **dt)(x, train)
+        x = ConvBN(cfg.stem_channels, 3, 2, name="stem2", **dt)(x, train)
+
+        for k in range(4):
+            x = Bottleneck(
+                cfg.bottleneck_channels, name=f"layer1_{k}", **dt
+            )(x, train)
+
+        xs = [x]
+        prev_channels: Sequence[int] = (cfg.bottleneck_channels * 4,)
+        for stage_idx, (n_modules, channels) in enumerate(
+            zip(cfg.stage_modules, cfg.branch_channels)
+        ):
+            xs = Transition(
+                prev_channels, channels, name=f"transition{stage_idx + 2}", **dt
+            )(xs, train)
+            for m in range(n_modules):
+                xs = HRModule(
+                    channels, cfg.blocks_per_branch,
+                    name=f"stage{stage_idx + 2}_module{m}", **dt
+                )(xs, train)
+            prev_channels = channels
+
+        # head on the highest-resolution branch; f32 logits for stable argmax
+        out = nn.Conv(
+            cfg.num_keypoints, (1, 1), dtype=jnp.float32,
+            param_dtype=self.param_dtype, name="head",
+        )(xs[0].astype(jnp.float32))
+        return out
+
+
+def create_hrnet(name: str = "hrnet_w32", **kwargs) -> HRNet:
+    cfg = {"hrnet_w32": HRNET_W32, "hrnet_w48": HRNET_W48}[name]
+    return HRNet(config=cfg, **kwargs)

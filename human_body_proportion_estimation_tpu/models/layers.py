@@ -1,0 +1,145 @@
+"""Shared Flax building blocks for the model zoo.
+
+TPU conventions used throughout the model zoo:
+  * NHWC layout — channels on the minor (lane) dimension.
+  * bfloat16 compute / float32 params by default; XLA fuses the BN + ReLU
+    elementwise tails into the preceding conv.
+  * BatchNorm always runs in inference mode (use_running_average) — this is
+    a serving framework; training utilities override via `train=True`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm + optional activation."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: Callable | None = nn.relu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=self.stride,
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="bn",
+            )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block (two 3x3 convs), HRNet stage blocks."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="conv1")(x, train)
+        y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="conv2")(y, train)
+        if residual.shape != y.shape:
+            residual = ConvBN(self.features, 1, self.stride, act=None,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="downsample")(x, train)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck (1x1 -> 3x3 -> 1x1, expansion 4), HRNet layer1."""
+
+    features: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out_features = self.features * self.expansion
+        y = ConvBN(self.features, 1, 1, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="conv1")(x, train)
+        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="conv2")(y, train)
+        y = ConvBN(out_features, 1, 1, act=None, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="conv3")(y, train)
+        if residual.shape != y.shape:
+            residual = ConvBN(out_features, 1, self.stride, act=None,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="downsample")(x, train)
+        return nn.relu(y + residual)
+
+
+def upsample_nearest(x: jax.Array, factor: int) -> jax.Array:
+    """Nearest-neighbor spatial upsample by an integer factor (NHWC)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, factor, w, factor, c)
+    )
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+class SeparableConvBN(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 with BN (+ optional act) — the
+    EfficientDet-Lite BiFPN / head conv."""
+
+    features: int
+    act: Callable | None = None
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch, (3, 3), padding="SAME", feature_group_count=in_ch,
+            use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=True, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="pointwise",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="bn",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
