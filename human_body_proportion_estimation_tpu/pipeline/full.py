@@ -1,0 +1,217 @@
+"""The fused image -> body-proportions pipeline as ONE XLA program.
+
+This is the TPU-native replacement for the reference's entire serving core:
+Triton's ensemble DAG (`ensemble_edet4_person_det_pose`) chaining the
+`edetlite4_modified` TF graph (person filter -> top-3 -> bbox expand ->
+crop_and_resize -> NCHW, reference `models/conv.py:14-86`) into HRNet, plus
+the host-side numpy decode loop
+(`person_det_pose_edet4_trtserver.py:148-171`). Where the reference crosses
+a gRPC process boundary twice and loops per person in Python, here the whole
+path
+
+    uint8 image -> normalize -> EfficientDet -> person filter/top-3
+    -> bbox expand -> crop 384x288 -> HRNet -> heatmap argmax decode
+    -> confidence gating -> coord remap -> pixel->cm -> 11 segment lengths
+
+is a single jit-compiled fixed-shape program: persons are padded to
+`max_persons` slots (3, conv.py:35) with validity masks, so batches of
+images run data-parallel with zero host round-trips.
+
+Coordinate spaces (mirroring the serving path where `save_result_dir is
+None`): detection + crops live in det-input space (640x480); emitted
+keypoints / pixel heights are de-normalized to the ORIGINAL image size
+(reference `person_det_pose_edet4_trtserver.py:142-145`), passed per-image
+as `orig_hw`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from human_body_proportion_estimation_tpu.models.efficientdet import (
+    EfficientDet,
+    EfficientDetConfig,
+    postprocess as det_postprocess,
+)
+from human_body_proportion_estimation_tpu.models.hrnet import HRNet
+from human_body_proportion_estimation_tpu.ops import (
+    boxes as box_ops,
+    crop as crop_ops,
+    heatmap as hm_ops,
+    proportions as prop_ops,
+)
+from human_body_proportion_estimation_tpu.utils.config import PipelineConfig
+
+
+class PipelineOutputs(NamedTuple):
+    """Fixed-shape device outputs for a batch of B images."""
+
+    boxes_norm: jax.Array     # [B, P, 4] normalized yxyx (expanded), P=3
+    boxes_orig: jax.Array     # [B, P, 4] yxyx in ORIGINAL image pixels
+    person_valid: jax.Array   # [B, P] bool
+    det_scores: jax.Array     # [B, P] person detection scores
+    keypoints: jax.Array      # [B, P, 17, 2] (x, y) in ORIGINAL image px
+    kp_scores: jax.Array      # [B, P, 17] heatmap confidences
+    kp_visible: jax.Array     # [B, P, 17] bool (threshold-gated)
+    lengths_cm: jax.Array     # [B, P, 11]
+    seg_visible: jax.Array    # [B, P, 11] bool
+    heatmaps: jax.Array | None  # [B, P, 17, 96, 72] (debug/parity variant)
+
+
+def select_persons(
+    boxes_yxyx: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    valid: jax.Array,
+    det_threshold: jax.Array,
+    person_class_id: int,
+    max_persons: int,
+):
+    """Person-class filter + score threshold + top-K slots.
+
+    Same semantics as the in-graph filter of reference `models/conv.py:22-35`
+    (class == person, score >= threshold, first 3 — detector outputs are
+    already score-sorted).
+    """
+    is_person = (
+        valid
+        & (classes == float(person_class_id))
+        & (scores >= det_threshold)
+    )
+    masked = jnp.where(is_person, scores, 0.0)
+    top_scores, idx = jax.lax.top_k(masked, max_persons)
+    slot_valid = top_scores > 0.0
+    return boxes_yxyx[idx], top_scores, slot_valid
+
+
+class FusedPipeline:
+    """Builds jittable fused programs for a static (detector, pose) pair.
+
+    Parameters (flax variable collections) are pytree arguments of the jit
+    program, so weight updates don't recompile; image batch size is the only
+    shape axis that triggers a new compilation.
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        detector: EfficientDet,
+        pose: HRNet,
+    ):
+        self.config = config
+        self.detector = detector
+        self.pose = pose
+
+    # ------------------------------------------------------------------ #
+
+    def _detect_one(self, det_vars, image_f32, det_threshold):
+        """One image -> padded person slots (det-input pixel space)."""
+        cfg = self.config
+        cls_logits, box_regs = self.detector.apply(
+            det_vars, image_f32[None]
+        )
+        boxes, scores, classes, valid = det_postprocess(
+            cls_logits[0],
+            box_regs[0],
+            (cfg.detector.input_height, cfg.detector.input_width),
+            self.detector.config,
+            iou_threshold=cfg.detector.iou_threshold,
+        )
+        return select_persons(
+            boxes, scores, classes, valid, det_threshold,
+            cfg.detector.person_class_id, cfg.detector.max_persons,
+        )
+
+    def forward(
+        self,
+        det_vars: Any,
+        pose_vars: Any,
+        images: jax.Array,       # [B, H, W, 3] uint8 RGB (det input size)
+        det_threshold: jax.Array,  # [] f32
+        person_heights: jax.Array,  # [B, P] cm
+        orig_hw: jax.Array,      # [B, 2] original (h, w) per image
+        with_heatmaps: bool = False,
+    ) -> PipelineOutputs:
+        """The fused program. jit with static `with_heatmaps`."""
+        cfg = self.config
+        h, w = cfg.detector.input_height, cfg.detector.input_width
+        p = cfg.detector.max_persons
+        b = images.shape[0]
+
+        images_f32 = images.astype(jnp.float32)
+
+        # -- detection (vmapped over batch) --
+        boxes_px, det_scores, person_valid = jax.vmap(
+            functools.partial(self._detect_one, det_vars),
+            in_axes=(0, None),
+        )(images_f32, det_threshold)
+
+        # -- bbox expand + normalize (reference conv.py:39-57; x expand
+        #    w//17, y expand 0: person_det_pose_edet4_trtserver.py:116-117) --
+        boxes_norm = box_ops.expand_clip_normalize_yxyx(
+            boxes_px,
+            jnp.float32(cfg.x_expand),
+            jnp.float32(0.0),
+            h,
+            w,
+        )
+
+        # -- person crops from the /255 image (conv.py:59-70) --
+        crops = jax.vmap(
+            lambda img, bx: crop_ops.crop_and_resize(
+                img, bx, cfg.pose.crop_height, cfg.pose.crop_width
+            )
+        )(images_f32 / 255.0, boxes_norm)          # [B, P, 384, 288, 3]
+
+        # -- pose estimation over all slots at once --
+        crops_flat = crops.reshape(
+            b * p, cfg.pose.crop_height, cfg.pose.crop_width, 3
+        )
+        heatmaps_nhwc = self.pose.apply(pose_vars, crops_flat)
+        hm_h, hm_w = heatmaps_nhwc.shape[1:3]
+        heatmaps = jnp.moveaxis(heatmaps_nhwc, -1, 1).reshape(
+            b, p, cfg.pose.num_keypoints, hm_h, hm_w
+        )
+
+        # -- decode + gate (pose_estimator.py:75-99, driver :162-163) --
+        kp_hm, kp_scores = hm_ops.decode_heatmaps(heatmaps)
+        kp_visible = hm_ops.gate_keypoints(
+            kp_scores, cfg.pose.keypoint_thresholds
+        )
+
+        # -- de-normalize boxes to ORIGINAL image space + remap keypoints
+        #    (driver :142-145, :151-160) --
+        scale = jnp.concatenate([orig_hw, orig_hw], axis=-1)  # [B,4] hwhw
+        boxes_orig = boxes_norm * scale[:, None, :]
+        kp_img = hm_ops.remap_to_image(kp_hm, boxes_orig, (hm_h, hm_w))
+
+        # -- pixel->cm + segments (driver :166-168, pose_estimator :191-200) --
+        bt = jnp.trunc(boxes_orig)
+        pixel_height = bt[..., 2] - bt[..., 0]
+        pixel_to_cm = person_heights / jnp.maximum(pixel_height, 1.0)
+        seg = prop_ops.segment_lengths(kp_img, kp_visible, pixel_to_cm)
+        seg_visible = seg.visible & person_valid[..., None]
+
+        return PipelineOutputs(
+            boxes_norm=boxes_norm,
+            boxes_orig=boxes_orig,
+            person_valid=person_valid,
+            det_scores=det_scores,
+            keypoints=kp_img,
+            kp_scores=kp_scores,
+            kp_visible=kp_visible,
+            lengths_cm=jnp.where(seg_visible, seg.lengths_cm, 0.0),
+            seg_visible=seg_visible,
+            heatmaps=heatmaps if with_heatmaps else None,
+        )
+
+    def jit_forward(self, with_heatmaps: bool = False, **jit_kwargs):
+        """jit-compiled forward; batch size picks the compiled variant."""
+        return jax.jit(
+            functools.partial(self.forward, with_heatmaps=with_heatmaps),
+            **jit_kwargs,
+        )

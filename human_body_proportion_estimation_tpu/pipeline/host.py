@@ -1,0 +1,242 @@
+"""Host-side orchestration around the fused device program.
+
+Everything the host still does is cheap and latency-insensitive: bytes ->
+RGB decode, cv2 resize to the detector input size, batch padding, and
+shaping device outputs into the reference's response structures. All
+numerics live in the fused XLA program (`pipeline/full.py`).
+
+Response-structure parity: `format_image_result` mirrors the nested return
+value of reference `run_pdet_pose`
+(`person_det_pose_edet4_trtserver.py:131-171`): per image
+``[boxes, heatmaps, dist_dict_person0, dist_dict_person1, ...]`` with boxes
+de-normalized y1x1y2x2 in original-image space, and the HTTP layer's
+first-person-only / "No humans detected" behavior built on top
+(`uvicorn_server/server.py:61-67`).
+
+Color handling: file paths decode BGR (cv2) and are flipped to RGB; raw
+bytes decode RGB (PIL) and are fed as RGB. The reference applies an
+unconditional BGR2RGB to both, which silently feeds BGR to the detector on
+the served-bytes path (`triton_utils.py:87` + driver preprocess) — a color
+bug this implementation fixes rather than replicates.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from human_body_proportion_estimation_tpu.models.efficientdet import (
+    EFFICIENTDET_LITE4,
+    EfficientDet,
+    EfficientDetConfig,
+)
+from human_body_proportion_estimation_tpu.models.hrnet import (
+    HRNet,
+    create_hrnet,
+)
+from human_body_proportion_estimation_tpu.ops import proportions as prop_ops
+from human_body_proportion_estimation_tpu.pipeline.full import (
+    FusedPipeline,
+    PipelineOutputs,
+)
+from human_body_proportion_estimation_tpu.utils.config import PipelineConfig
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Raw encoded bytes -> RGB uint8 HWC (PIL, like triton_utils.py:87)."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def load_image_path(path: str) -> np.ndarray:
+    """Image file -> RGB uint8 HWC (cv2 BGR decode + flip)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise ValueError(f"could not decode image: {path}")
+    return img[..., ::-1].copy()
+
+
+def resize_for_detector(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Host resize to the det input size (cv2 bilinear, reference
+    `person_det_pose_edet4_trtserver.py:15-18`)."""
+    import cv2
+
+    return cv2.resize(img, (width, height)).astype(np.uint8)
+
+
+def _pad_batch(n: int, max_batch: int) -> int:
+    """Round up to the next power-of-two bucket (bounds compile count)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(max(b, 1), max(max_batch, n))
+
+
+class InferencePipeline:
+    """Owns model params + jitted programs; the in-process "model server".
+
+    The reference needs a Triton container + gRPC client for this role; here
+    it is a plain object whose `infer_*` methods block until device results
+    are ready. Thread-safe for concurrent callers (jax dispatch is).
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig | None = None,
+        det_config: EfficientDetConfig = EFFICIENTDET_LITE4,
+        rng_seed: int = 0,
+        det_vars: Any | None = None,
+        pose_vars: Any | None = None,
+    ):
+        self.config = config or PipelineConfig()
+        cfg = self.config
+        self.detector = EfficientDet(config=det_config)
+        self.pose = create_hrnet(cfg.pose.name)
+        self.fused = FusedPipeline(cfg, self.detector, self.pose)
+
+        if det_vars is None or pose_vars is None:
+            # random init on host CPU (fast trace), then device-put once;
+            # real checkpoints come through `weights.load_*`
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                rng = jax.random.PRNGKey(rng_seed)
+                if det_vars is None:
+                    det_vars = self.detector.init(
+                        rng,
+                        jnp.zeros(
+                            (1, cfg.detector.input_height,
+                             cfg.detector.input_width, 3), jnp.float32,
+                        ),
+                    )
+                if pose_vars is None:
+                    pose_vars = self.pose.init(
+                        rng,
+                        jnp.zeros(
+                            (1, cfg.pose.crop_height, cfg.pose.crop_width, 3),
+                            jnp.float32,
+                        ),
+                    )
+        device = jax.devices()[0]
+        self.det_vars = jax.device_put(det_vars, device)
+        self.pose_vars = jax.device_put(pose_vars, device)
+        self._programs: Dict[bool, Any] = {}
+
+    # ------------------------------------------------------------------ #
+
+    def _program(self, with_heatmaps: bool):
+        if with_heatmaps not in self._programs:
+            self._programs[with_heatmaps] = self.fused.jit_forward(
+                with_heatmaps=with_heatmaps
+            )
+        return self._programs[with_heatmaps]
+
+    def infer_images(
+        self,
+        images_rgb: Sequence[np.ndarray],
+        person_heights: Sequence[float] | float = 175.0,
+        det_threshold: float = 0.70,
+        with_heatmaps: bool = False,
+    ) -> PipelineOutputs:
+        """Run the fused program on a list of original-size RGB images.
+
+        `person_heights`: one height per image (serving semantics), or a
+        list-per-image of per-person heights (CLI semantics,
+        `FLAGS.p_height[min(i, len-1)]`, driver :167).
+        """
+        cfg = self.config
+        n = len(images_rgb)
+        b = _pad_batch(n, cfg.serve.max_batch)
+        p = cfg.detector.max_persons
+        h, w = cfg.detector.input_height, cfg.detector.input_width
+
+        batch = np.zeros((b, h, w, 3), np.uint8)
+        orig_hw = np.ones((b, 2), np.float32)
+        heights = np.full((b, p), 175.0, np.float32)
+        for i, img in enumerate(images_rgb):
+            batch[i] = resize_for_detector(img, w, h)
+            orig_hw[i] = img.shape[:2]
+            hi = person_heights
+            if np.isscalar(hi):
+                heights[i, :] = float(hi)
+            else:
+                per_img = hi[i] if isinstance(hi[i], (list, tuple)) else hi
+                for slot in range(p):
+                    heights[i, slot] = float(
+                        per_img[min(slot, len(per_img) - 1)]
+                    )
+
+        out = self._program(with_heatmaps)(
+            self.det_vars,
+            self.pose_vars,
+            jnp.asarray(batch),
+            jnp.float32(det_threshold),
+            jnp.asarray(heights),
+            jnp.asarray(orig_hw),
+        )
+        return jax.tree.map(lambda x: x[:n] if x is not None else None, out)
+
+    # ------------------------------------------------------------------ #
+
+    def infer_bytes(
+        self,
+        image_bytes: bytes,
+        person_height_cm: float = 175.0,
+        det_threshold: float = 0.70,
+    ) -> Dict[str, Any]:
+        """bytes -> HTTP-layer response dict (reference server.py:46-67)."""
+        try:
+            img = decode_image_bytes(image_bytes)
+        except Exception:
+            return {
+                "code": "failed",
+                "msg": "Failed to run inference on image. Please use an "
+                       "image with one fully visible human.",
+            }
+        out = self.infer_images(
+            [img], person_heights=float(person_height_cm),
+            det_threshold=det_threshold,
+        )
+        dicts = format_image_result(out, 0)[2:]
+        if not dicts:
+            return {
+                "code": "success",
+                "msg": "No humans detected",
+                "body_proportion_lengths_(cm)": {},
+            }
+        return {
+            "code": "success",
+            "msg": "human body proportion estimation complete",
+            "body_proportion_lengths_(cm)": dicts[0],
+        }
+
+
+def format_image_result(out: PipelineOutputs, i: int) -> List[Any]:
+    """Device outputs for image i -> reference-parity nested list
+    ``[boxes, heatmaps, dist_dict_0, ...]`` (driver :131-171)."""
+    valid = np.asarray(out.person_valid[i])
+    nper = int(valid.sum())
+    # boxes de-normalized to original-image pixels, y1x1y2x2 — the state the
+    # reference leaves them in after its in-place `boxes *= [h, w, h, w]`
+    # (driver :145)
+    boxes = np.asarray(out.boxes_orig[i])[:nper]
+    if out.heatmaps is not None:
+        heatmaps = np.asarray(out.heatmaps[i])[:nper]
+    else:
+        heatmaps = np.zeros((nper, 0, 0, 0), np.float32)
+    result: List[Any] = [boxes, heatmaps]
+    lengths = np.asarray(out.lengths_cm[i])
+    vis = np.asarray(out.seg_visible[i])
+    for slot in range(nper):
+        result.append(prop_ops.to_dist_dict(lengths[slot], vis[slot]))
+    return result
