@@ -131,7 +131,7 @@ class FusedPipeline:
         det_vars: Any,
         pose_vars: Any,
         images: jax.Array,       # [B, H, W, 3] uint8 RGB (det input size)
-        det_threshold: jax.Array,  # [] f32
+        det_threshold: jax.Array,  # [B] f32 (per request, batched serving)
         person_heights: jax.Array,  # [B, P] cm
         orig_hw: jax.Array,      # [B, 2] original (h, w) per image
         with_heatmaps: bool = False,
@@ -146,8 +146,7 @@ class FusedPipeline:
 
         # -- detection (vmapped over batch) --
         boxes_px, det_scores, person_valid = jax.vmap(
-            functools.partial(self._detect_one, det_vars),
-            in_axes=(0, None),
+            functools.partial(self._detect_one, det_vars)
         )(images_f32, det_threshold)
 
         # -- bbox expand + normalize (reference conv.py:39-57; x expand

@@ -145,7 +145,7 @@ class InferencePipeline:
         self,
         images_rgb: Sequence[np.ndarray],
         person_heights: Sequence[float] | float = 175.0,
-        det_threshold: float = 0.70,
+        det_threshold: Sequence[float] | float = 0.70,
         with_heatmaps: bool = False,
     ) -> PipelineOutputs:
         """Run the fused program on a list of original-size RGB images.
@@ -163,7 +163,14 @@ class InferencePipeline:
         batch = np.zeros((b, h, w, 3), np.uint8)
         orig_hw = np.ones((b, 2), np.float32)
         heights = np.full((b, p), 175.0, np.float32)
+        thresholds = np.full(
+            (b,),
+            det_threshold if np.isscalar(det_threshold) else 1.0,
+            np.float32,
+        )
         for i, img in enumerate(images_rgb):
+            if not np.isscalar(det_threshold):
+                thresholds[i] = float(det_threshold[i])
             batch[i] = resize_for_detector(img, w, h)
             orig_hw[i] = img.shape[:2]
             hi = person_heights
@@ -180,7 +187,7 @@ class InferencePipeline:
             self.det_vars,
             self.pose_vars,
             jnp.asarray(batch),
-            jnp.float32(det_threshold),
+            jnp.asarray(thresholds),
             jnp.asarray(heights),
             jnp.asarray(orig_hw),
         )

@@ -1,0 +1,270 @@
+"""HTTP serving edge: the drop-in replacement for the reference's
+FastAPI app + Triton deployment, self-contained on the stdlib.
+
+Route/response parity with `uvicorn_server/server.py`:
+  POST /body_proportion_length_estimation_file
+      multipart form: `file` (image), `person_height_in_cm` (int, default
+      175), `threshold` (float, default 0.70), optional `back_url`
+      -> {"code", "msg", "body_proportion_lengths_(cm)"} with the exact
+      "No humans detected" / "human body proportion estimation complete" /
+      catch-all-failure messages (server.py:60-67,114-118); any exception
+      returns the "failed" JSON, never a 500.
+  GET  /   -> the same welcome JSON (server.py:122-124).
+
+Additions over the reference (observability gaps called out in SURVEY §5):
+  GET /health  -> liveness + device info
+  GET /metrics -> QPS/latency percentiles/batch occupancy JSON
+
+Architecture: request threads decode bytes (CPU-parallel), submit decoded
+images to the `DynamicBatcher`, which coalesces them into fused-program
+launches on the TPU — replacing Triton's dynamic batching + ensemble
+scheduling. The optional `back_url` webhook POST mirrors
+`ModelProcessTask.run`'s fire-and-log behavior (server.py:69-82) with the
+same (3, 100) timeouts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List
+
+import numpy as np
+
+from human_body_proportion_estimation_tpu.pipeline.host import (
+    InferencePipeline,
+    decode_image_bytes,
+    format_image_result,
+)
+from human_body_proportion_estimation_tpu.serve.batching import (
+    DynamicBatcher,
+    Metrics,
+)
+from human_body_proportion_estimation_tpu.serve.http import parse_multipart
+from human_body_proportion_estimation_tpu.utils.config import PipelineConfig
+
+FAIL_MSG = (
+    "Failed to run inference on image. Please use an image with one fully "
+    "visible human."
+)
+WELCOME = {
+    "Welcome to Human Body Proportion Estimation Web Service":
+        "Please visit /docs"
+}
+
+
+class ServingApp:
+    """Pipeline + batcher + metrics; handler classes bind to one instance."""
+
+    def __init__(self, pipeline: InferencePipeline,
+                 config: PipelineConfig | None = None):
+        self.pipeline = pipeline
+        self.config = config or pipeline.config
+        self.metrics = Metrics()
+        serve_cfg = self.config.serve
+        self.batcher = DynamicBatcher(
+            self._run_batch,
+            max_batch=serve_cfg.max_batch,
+            batch_timeout_ms=serve_cfg.batch_timeout_ms,
+            queue_depth=serve_cfg.queue_depth,
+            metrics=self.metrics,
+        )
+
+    def _run_batch(self, payloads: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        images = [p["image"] for p in payloads]
+        heights = [[p["height"]] for p in payloads]
+        thresholds = [p["threshold"] for p in payloads]
+        out = self.pipeline.infer_images(
+            images, person_heights=heights, det_threshold=thresholds
+        )
+        responses = []
+        for i in range(len(payloads)):
+            dicts = format_image_result(out, i)[2:]
+            if not dicts:
+                responses.append({
+                    "code": "success",
+                    "msg": "No humans detected",
+                    "body_proportion_lengths_(cm)": {},
+                })
+            else:
+                responses.append({
+                    "code": "success",
+                    "msg": "human body proportion estimation complete",
+                    "body_proportion_lengths_(cm)": dicts[0],
+                })
+        return responses
+
+    def handle_estimation(self, form) -> Dict[str, Any]:
+        if "file" not in form:
+            raise ValueError("missing 'file' form field")
+        height = int(form["person_height_in_cm"].data) \
+            if "person_height_in_cm" in form else 175
+        threshold = float(form["threshold"].data) \
+            if "threshold" in form else 0.70
+        back_url = form["back_url"].data.decode() if "back_url" in form else ""
+
+        image = decode_image_bytes(form["file"].data)
+        response = self.batcher.infer(
+            {"image": image, "height": height, "threshold": threshold}
+        )
+        if back_url:
+            self._post_webhook(back_url, response)
+        return response
+
+    @staticmethod
+    def _post_webhook(url: str, payload: Dict[str, Any]):
+        # fire-and-log, like ModelProcessTask (server.py:69-82)
+        try:
+            import requests
+
+            requests.post(
+                url,
+                headers={"Content-Type": "application/json"},
+                data=json.dumps(payload),
+                timeout=(3, 100),
+            )
+        except Exception as e:  # noqa: BLE001
+            traceback.print_exc()
+            print(e)
+
+    def shutdown(self):
+        self.batcher.shutdown()
+
+
+def _json_default(o):
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not serializable: {type(o)}")
+
+
+def make_handler(app: ServingApp):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _send_json(self, obj, status=200):
+            body = json.dumps(obj, default=_json_default).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send_json(WELCOME)
+            elif self.path == "/health":
+                import jax
+
+                self._send_json({
+                    "status": "ok",
+                    "devices": [str(d) for d in jax.devices()],
+                })
+            elif self.path == "/metrics":
+                self._send_json(app.metrics.snapshot())
+            elif self.path == "/docs":
+                self._send_json({
+                    "POST /body_proportion_length_estimation_file": {
+                        "form": {
+                            "file": "image file (required)",
+                            "person_height_in_cm": "int, default 175",
+                            "threshold": "float, default 0.70",
+                            "back_url": "optional webhook URL",
+                        },
+                        "returns": {
+                            "code": "success|failed",
+                            "msg": "status message",
+                            "body_proportion_lengths_(cm)":
+                                "segment name -> cm or 'Part not visible'",
+                        },
+                    }
+                })
+            else:
+                self._send_json({"detail": "Not Found"}, 404)
+
+        def do_POST(self):
+            if self.path != "/body_proportion_length_estimation_file":
+                self._send_json({"detail": "Not Found"}, 404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                form = parse_multipart(
+                    body, self.headers.get("Content-Type", "")
+                )
+                response = app.handle_estimation(form)
+                self._send_json(response)
+            except queue.Full:
+                self._send_json(
+                    {"code": "failed", "msg": "server overloaded"}, 503
+                )
+            except Exception as e:  # noqa: BLE001 — parity: never 500
+                traceback.print_exc()
+                print(e)
+                self._send_json({"msg": FAIL_MSG, "code": "failed"})
+
+    return Handler
+
+
+def create_server(app: ServingApp, host: str, port: int) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(app))
+    server.daemon_threads = True
+    return server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU body proportion estimation service"
+    )
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--detector", default="efficientdet_lite4",
+        choices=["efficientdet_lite4", "efficientdet_lite0"],
+    )
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="orbax checkpoint dir with det/pose params")
+    args = parser.parse_args(argv)
+
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+        EFFICIENTDET_LITE4,
+    )
+
+    det_cfg = (
+        EFFICIENTDET_LITE0 if args.detector == "efficientdet_lite0"
+        else EFFICIENTDET_LITE4
+    )
+    det_vars = pose_vars = None
+    if args.checkpoint_dir:
+        from human_body_proportion_estimation_tpu.models import weights
+
+        det_vars, pose_vars = weights.load_pipeline_checkpoint(
+            args.checkpoint_dir
+        )
+    pipeline = InferencePipeline(
+        det_config=det_cfg, det_vars=det_vars, pose_vars=pose_vars
+    )
+    app = ServingApp(pipeline)
+    server = create_server(app, args.host, args.port)
+    print(f"serving on {args.host}:{args.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        app.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Serving layer: dynamic batcher semantics + HTTP edge contract.
+
+The HTTP tests run the real stdlib server in-process against the tiny
+random-weight pipeline (no TPU needed) — the "fake engine" strategy from
+SURVEY §4's gap analysis.
+"""
+
+import http.client
+import io
+import json
+import threading
+import time
+import uuid
+
+import numpy as np
+import pytest
+
+from human_body_proportion_estimation_tpu.serve.batching import DynamicBatcher
+from human_body_proportion_estimation_tpu.serve.http import parse_multipart
+
+
+# --------------------------------------------------------------------- #
+# batcher
+
+
+def test_batcher_coalesces_and_preserves_order():
+    seen_batches = []
+
+    def runner(payloads):
+        seen_batches.append(len(payloads))
+        time.sleep(0.01)
+        return [p * 10 for p in payloads]
+
+    b = DynamicBatcher(runner, max_batch=4, batch_timeout_ms=30)
+    futs = [b.submit(i) for i in range(8)]
+    results = [f.result(5) for f in futs]
+    assert results == [i * 10 for i in range(8)]
+    assert sum(seen_batches) == 8
+    assert max(seen_batches) >= 2  # some coalescing happened
+    b.shutdown()
+
+
+def test_batcher_propagates_runner_failure():
+    def runner(payloads):
+        raise RuntimeError("boom")
+
+    b = DynamicBatcher(runner, max_batch=2, batch_timeout_ms=1)
+    fut = b.submit(1)
+    with pytest.raises(RuntimeError, match="boom"):
+        fut.result(5)
+    assert b.metrics.snapshot()["failures_total"] == 1
+    b.shutdown()
+
+
+def test_batcher_timeout_launches_partial_batch():
+    def runner(payloads):
+        return payloads
+
+    b = DynamicBatcher(runner, max_batch=64, batch_timeout_ms=5)
+    t0 = time.perf_counter()
+    assert b.submit("x").result(5) == "x"
+    assert time.perf_counter() - t0 < 2.0  # didn't wait for a full batch
+    b.shutdown()
+
+
+# --------------------------------------------------------------------- #
+# multipart parsing
+
+
+def _multipart_body(fields):
+    boundary = uuid.uuid4().hex
+    out = io.BytesIO()
+    for name, (data, filename) in fields.items():
+        out.write(f"--{boundary}\r\n".encode())
+        disp = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        out.write(disp.encode() + b"\r\n\r\n")
+        out.write(data if isinstance(data, bytes) else str(data).encode())
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def test_parse_multipart_roundtrip():
+    body, ctype = _multipart_body({
+        "file": (b"\x00\x01binary\xff", "img.jpg"),
+        "person_height_in_cm": ("193", None),
+    })
+    parts = parse_multipart(body, ctype)
+    assert parts["file"].data == b"\x00\x01binary\xff"
+    assert parts["file"].filename == "img.jpg"
+    assert parts["person_height_in_cm"].data == b"193"
+    assert parts["person_height_in_cm"].filename is None
+
+
+def test_parse_multipart_malformed():
+    with pytest.raises(ValueError):
+        parse_multipart(b"garbage", "text/plain")
+
+
+# --------------------------------------------------------------------- #
+# HTTP edge (real server, tiny pipeline)
+
+
+@pytest.fixture(scope="module")
+def served_app():
+    import cv2
+
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.server import (
+        ServingApp,
+        create_server,
+    )
+    from human_body_proportion_estimation_tpu.utils.config import (
+        DetectorConfig,
+        PipelineConfig,
+        PoseConfig,
+        ServeConfig,
+    )
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(input_height=128, input_width=128),
+        pose=PoseConfig(crop_height=64, crop_width=64,
+                        heatmap_height=16, heatmap_width=16),
+        serve=ServeConfig(max_batch=4, batch_timeout_ms=5),
+    )
+    pipeline = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    app = ServingApp(pipeline)
+    server = create_server(app, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".jpg", img)
+    assert ok
+
+    yield port, enc.tobytes()
+    server.shutdown()
+    app.shutdown()
+
+
+def _post(port, path, body, ctype):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": ctype})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def test_index_route(served_app):
+    port, _ = served_app
+    status, data = _get(port, "/")
+    assert status == 200
+    assert "Welcome to Human Body Proportion Estimation Web Service" in data
+
+
+def test_estimation_route_contract(served_app):
+    port, jpg = served_app
+    body, ctype = _multipart_body({
+        "file": (jpg, "person.jpg"),
+        "person_height_in_cm": ("193", None),
+        "threshold": ("0.7", None),
+    })
+    status, data = _post(
+        port, "/body_proportion_length_estimation_file", body, ctype
+    )
+    assert status == 200
+    assert data["code"] == "success"
+    assert "body_proportion_lengths_(cm)" in data
+    assert data["msg"] in (
+        "No humans detected",
+        "human body proportion estimation complete",
+    )
+
+
+def test_estimation_bad_image_never_500(served_app):
+    port, _ = served_app
+    body, ctype = _multipart_body({"file": (b"not an image", "x.jpg")})
+    status, data = _post(
+        port, "/body_proportion_length_estimation_file", body, ctype
+    )
+    assert status == 200  # parity: reference returns 200 with failed code
+    assert data["code"] == "failed"
+
+
+def test_estimation_missing_file_fails_cleanly(served_app):
+    port, _ = served_app
+    body, ctype = _multipart_body({"threshold": ("0.5", None)})
+    status, data = _post(
+        port, "/body_proportion_length_estimation_file", body, ctype
+    )
+    assert data["code"] == "failed"
+
+
+def test_metrics_and_health(served_app):
+    port, _ = served_app
+    status, health = _get(port, "/health")
+    assert status == 200 and health["status"] == "ok"
+    status, metrics = _get(port, "/metrics")
+    assert status == 200
+    assert metrics["requests_total"] >= 1
+    assert "latency_ms_p95" in metrics
+
+
+def test_concurrent_requests_batched(served_app):
+    port, jpg = served_app
+    body, ctype = _multipart_body({"file": (jpg, "p.jpg")})
+    results = []
+
+    def hit():
+        results.append(
+            _post(port, "/body_proportion_length_estimation_file", body, ctype)
+        )
+
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(s == 200 and d["code"] == "success" for s, d in results)
+    _, metrics = _get(port, "/metrics")
+    assert metrics["mean_batch_size"] > 1.0  # batching actually engaged
