@@ -1,0 +1,84 @@
+"""End-to-end throughput benchmark for the fused TPU pipeline.
+
+Measures steady-state images/sec of the full fused program (EfficientDet-
+Lite4 detection + person filter + crop + HRNet-W32 pose x3 slots + decode +
+proportions) on one chip — the analog of the reference's perf_analyzer
+recipe against its Triton ensemble model (README :82-87; the reference
+never published numbers, BASELINE.md).
+
+Measurement methodology: K pipeline iterations are chained INSIDE one jit
+program (fori_loop, input perturbed per step so nothing folds away) and the
+scalar result is read back to the host. This is immune to async-dispatch
+artifacts — under the axon tunnel, `block_until_ready` acknowledges
+dispatch long before compute finishes, inflating naive timings ~20x; only
+a value readback proves execution completed.
+
+Prints ONE JSON line. vs_baseline normalizes against the BASELINE.md target
+of >=1000 imgs/sec on a v5e-4, i.e. 250 imgs/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_IMGS_PER_SEC_PER_CHIP = 250.0  # 1k/s on v5e-4 (BASELINE.md)
+BATCH = 16
+LOOP_ITERS = 10
+TRIALS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+
+    pipe = InferencePipeline()
+    cfg = pipe.config
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(
+            0, 256,
+            (BATCH, cfg.detector.input_height, cfg.detector.input_width, 3),
+            dtype=np.uint8,
+        )
+    )
+    thresholds = jnp.full((BATCH,), 0.7, jnp.float32)
+    heights = jnp.full((BATCH, cfg.detector.max_persons), 175.0, jnp.float32)
+    orig_hw = jnp.full((BATCH, 2), 640.0, jnp.float32)
+
+    def looped(det_vars, pose_vars, imgs):
+        def body(i, acc):
+            out = pipe.fused.forward(
+                det_vars, pose_vars, imgs + (i % 2).astype(jnp.uint8),
+                thresholds, heights, orig_hw,
+            )
+            return acc + jnp.sum(out.lengths_cm) + jnp.sum(out.keypoints)
+
+        return jax.lax.fori_loop(0, LOOP_ITERS, body, 0.0)
+
+    program = jax.jit(looped)
+    float(program(pipe.det_vars, pipe.pose_vars, images))  # compile + warm
+
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(program(pipe.det_vars, pipe.pose_vars, images))  # readback
+        best = min(best, time.perf_counter() - t0)
+
+    imgs_per_sec = BATCH * LOOP_ITERS / best
+    print(json.dumps({
+        "metric": "fused det+pose+proportion imgs/sec/chip "
+                  "(EDet-Lite4 + 3x HRNet-W32, batch 16)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

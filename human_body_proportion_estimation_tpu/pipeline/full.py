@@ -120,6 +120,7 @@ class FusedPipeline:
             (cfg.detector.input_height, cfg.detector.input_width),
             self.detector.config,
             iou_threshold=cfg.detector.iou_threshold,
+            top_k=cfg.detector.nms_top_k,
         )
         return select_persons(
             boxes, scores, classes, valid, det_threshold,

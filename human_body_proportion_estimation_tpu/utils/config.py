@@ -32,6 +32,10 @@ class DetectorConfig:
     max_persons: int = 3
     max_detections: int = 100  # raw detector output slots, reference conv.py:16
     iou_threshold: float = 0.5
+    # candidates entering the KxK NMS stage: the suppression sweep is a
+    # sequential fori_loop, so K directly sets its depth; 128 covers the
+    # 100-slot output contract with margin at 4x less loop latency than 512
+    nms_top_k: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
