@@ -1,0 +1,45 @@
+"""Shared CLI argument surface, mirroring the reference's flags
+(`modules/utils.py:85-113`) so reference users keep their muscle memory.
+
+The `-g/--grpc_port` flag is accepted but inert: there is no separate model
+server to dial — the models run in-process on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+# 80 COCO class names (YOLO ordering; public dataset metadata)
+COCO_CLASSES = (
+    "person bicycle car motorcycle airplane bus train truck boat "
+    "traffic_light fire_hydrant stop_sign parking_meter bench bird cat dog "
+    "horse sheep cow elephant bear zebra giraffe backpack umbrella handbag "
+    "tie suitcase frisbee skis snowboard sports_ball kite baseball_bat "
+    "baseball_glove skateboard surfboard tennis_racket bottle wine_glass "
+    "cup fork knife spoon bowl banana apple sandwich orange broccoli "
+    "carrot hot_dog pizza donut cake chair couch potted_plant bed "
+    "dining_table toilet tv laptop mouse remote keyboard cell_phone "
+    "microwave oven toaster sink refrigerator book clock vase scissors "
+    "teddy_bear hair_drier toothbrush"
+).split()
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("-i", "--input_path", required=True,
+                   help="image file, image directory, or video file")
+    p.add_argument("-m", "--media_type", default="image",
+                   choices=("image", "video"))
+    p.add_argument("-o", "--output_dir", default="output",
+                   help="result directory (set to '' to disable saving)")
+    p.add_argument("-t", "--detection_threshold", type=float, default=0.6)
+    p.add_argument("-p", "--person_height", type=float, default=175.0,
+                   help="subject height in cm for pixel->cm scaling")
+    p.add_argument("-g", "--grpc_port", default=None,
+                   help="ignored (kept for reference-CLI compatibility; "
+                        "models run in-process)")
+    p.add_argument("--detector", default="efficientdet_lite4",
+                   choices=("efficientdet_lite4", "efficientdet_lite0"))
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--debug", action="store_true", default=True)
+    return p

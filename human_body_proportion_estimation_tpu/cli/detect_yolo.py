@@ -1,0 +1,137 @@
+"""YOLOv5 detection CLI.
+
+Counterpart of both reference YOLOv5 demos — the Triton one
+(`obj_det_yolov5_trtserver.py`: letterbox 640, conf 0.4 / IoU 0.5 NMS,
+scale_coords back, :30-44,153-154) and the serverless onnxruntime one
+(`obj_det_yolov5_onnx.py`) — in one driver: the same jit program runs on
+TPU by default or on the CPU backend with `--cpu` (the numeric-parity
+configuration, BASELINE config 1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List
+
+import numpy as np
+
+from human_body_proportion_estimation_tpu.cli.args import (
+    COCO_CLASSES,
+    build_parser,
+)
+from human_body_proportion_estimation_tpu.pipeline.detect import (
+    YoloDetectPipeline,
+    letterbox_host,
+    scale_boxes_to_original,
+)
+from human_body_proportion_estimation_tpu.utils import draw, io as media_io
+
+MODEL_SIZE = 640
+
+
+def run_demo_odet(
+    media_filename: str,
+    inference_mode: str = "image",
+    det_threshold: float = 0.4,
+    iou_threshold: float = 0.5,
+    save_result_dir: str | None = None,
+    model_name: str = "yolov5m",
+    use_cpu: bool = False,
+    debug: bool = True,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from human_body_proportion_estimation_tpu.models.yolov5 import (
+        YOLOV5M,
+        YOLOV5S,
+        YoloV5,
+    )
+
+    start = time.time()
+    if use_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cfg = YOLOV5S if model_name == "yolov5s" else YOLOV5M
+    model = YoloV5(config=cfg, dtype=jnp.float32 if use_cpu else jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, MODEL_SIZE, MODEL_SIZE, 3), jnp.float32),
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
+    program = YoloDetectPipeline(
+        model, conf_thres=det_threshold, iou_thres=iou_threshold
+    ).jit()
+
+    save_dir = None
+    if save_result_dir:
+        save_dir = os.path.join(save_result_dir, f"tpu_{model_name}")
+        os.makedirs(save_dir, exist_ok=True)
+
+    if inference_mode == "video":
+        frames, fps = media_io.stream_video(media_filename)
+    else:
+        frames = media_io.stream_images(media_filename)
+        fps = 1.0
+
+    writer = None
+    outputs: List = []
+    for counter, frame in enumerate(frames):
+        model_in = letterbox_host(frame, MODEL_SIZE)
+        dets = program(variables, jnp.asarray(model_in[None]))
+        valid = np.asarray(dets.valid[0])
+        boxes = np.asarray(dets.boxes[0])[valid]
+        scores = np.asarray(dets.scores[0])[valid]
+        classes = np.asarray(dets.classes[0])[valid]
+        boxes = scale_boxes_to_original(
+            boxes, MODEL_SIZE, frame.shape[:2]
+        ) if len(boxes) else boxes
+        outputs.append((boxes, scores, classes))
+
+        if save_dir is not None:
+            for bx, sc, cl in zip(boxes, scores, classes):
+                name = COCO_CLASSES[int(cl)] \
+                    if 0 <= int(cl) < len(COCO_CLASSES) else str(int(cl))
+                draw.draw_box(frame, bx, color=(255, 0, 255),
+                              label=f"{name} {sc:.2f}")
+            if inference_mode == "video":
+                if writer is None:
+                    writer = media_io.VideoWriter(
+                        os.path.join(save_dir, "res_video.mp4"),
+                        max(fps - 10, 1.0), frame.shape[1], frame.shape[0],
+                    )
+                writer.write(frame)
+            else:
+                media_io.save_image(
+                    os.path.join(save_dir, f"frame_{counter:05d}.jpg"), frame
+                )
+    if writer is not None:
+        writer.close()
+    if debug:
+        backend = jax.devices()[0].platform
+        print(f"Inference time ({backend}): {time.time()-start:.2f}s")
+    return outputs
+
+
+def main():
+    parser = build_parser("YOLOv5 Object Detection (TPU)")
+    parser.add_argument("--model", default="yolov5m",
+                        choices=("yolov5s", "yolov5m"))
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on the CPU backend (numeric-parity path)")
+    args = parser.parse_args()
+    run_demo_odet(
+        args.input_path,
+        inference_mode=args.media_type,
+        det_threshold=args.detection_threshold,
+        save_result_dir=args.output_dir or None,
+        model_name=args.model,
+        use_cpu=args.cpu,
+        debug=args.debug,
+    )
+
+
+if __name__ == "__main__":
+    main()
