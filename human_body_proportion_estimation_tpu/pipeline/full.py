@@ -32,11 +32,6 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from human_body_proportion_estimation_tpu.models.efficientdet import (
-    EfficientDet,
-    EfficientDetConfig,
-    postprocess as det_postprocess,
-)
 from human_body_proportion_estimation_tpu.models.hrnet import HRNet
 from human_body_proportion_estimation_tpu.ops import (
     boxes as box_ops,
@@ -89,43 +84,24 @@ def select_persons(
 
 
 class FusedPipeline:
-    """Builds jittable fused programs for a static (detector, pose) pair.
+    """Builds jittable fused programs for a static (backend, pose) pair.
 
-    Parameters (flax variable collections) are pytree arguments of the jit
-    program, so weight updates don't recompile; image batch size is the only
-    shape axis that triggers a new compilation.
+    The detector slot is any backend from `pipeline/backends.py` (a callable
+    mapping one det-input image to padded person slots inside the jit
+    program). Parameters (flax variable collections) are pytree arguments,
+    so weight updates don't recompile; image batch size is the only shape
+    axis that triggers a new compilation.
     """
 
     def __init__(
         self,
         config: PipelineConfig,
-        detector: EfficientDet,
+        detector_backend,
         pose: HRNet,
     ):
         self.config = config
-        self.detector = detector
+        self.detector_backend = detector_backend
         self.pose = pose
-
-    # ------------------------------------------------------------------ #
-
-    def _detect_one(self, det_vars, image_f32, det_threshold):
-        """One image -> padded person slots (det-input pixel space)."""
-        cfg = self.config
-        cls_logits, box_regs = self.detector.apply(
-            det_vars, image_f32[None]
-        )
-        boxes, scores, classes, valid = det_postprocess(
-            cls_logits[0],
-            box_regs[0],
-            (cfg.detector.input_height, cfg.detector.input_width),
-            self.detector.config,
-            iou_threshold=cfg.detector.iou_threshold,
-            top_k=cfg.detector.nms_top_k,
-        )
-        return select_persons(
-            boxes, scores, classes, valid, det_threshold,
-            cfg.detector.person_class_id, cfg.detector.max_persons,
-        )
 
     def forward(
         self,
@@ -147,7 +123,7 @@ class FusedPipeline:
 
         # -- detection (vmapped over batch) --
         boxes_px, det_scores, person_valid = jax.vmap(
-            functools.partial(self._detect_one, det_vars)
+            functools.partial(self.detector_backend, det_vars)
         )(images_f32, det_threshold)
 
         # -- bbox expand + normalize (reference conv.py:39-57; x expand

@@ -98,12 +98,25 @@ class InferencePipeline:
         rng_seed: int = 0,
         det_vars: Any | None = None,
         pose_vars: Any | None = None,
+        detector: str | None = None,
     ):
+        from human_body_proportion_estimation_tpu.pipeline.backends import (
+            EfficientDetBackend,
+            SSDBackend,
+        )
+
         self.config = config or PipelineConfig()
         cfg = self.config
-        self.detector = EfficientDet(config=det_config)
+        detector = detector or cfg.detector.name
+        if detector == "ssd_mobilenet":
+            # the slot with REAL weights (reference's checked-in ssd.tflite)
+            self.backend = SSDBackend(cfg)
+        else:
+            self.backend = EfficientDetBackend(
+                EfficientDet(config=det_config), cfg
+            )
         self.pose = create_hrnet(cfg.pose.name)
-        self.fused = FusedPipeline(cfg, self.detector, self.pose)
+        self.fused = FusedPipeline(cfg, self.backend, self.pose)
 
         if det_vars is None or pose_vars is None:
             # random init on host CPU (fast trace), then device-put once;
@@ -112,13 +125,7 @@ class InferencePipeline:
             with jax.default_device(cpu):
                 rng = jax.random.PRNGKey(rng_seed)
                 if det_vars is None:
-                    det_vars = self.detector.init(
-                        rng,
-                        jnp.zeros(
-                            (1, cfg.detector.input_height,
-                             cfg.detector.input_width, 3), jnp.float32,
-                        ),
-                    )
+                    det_vars = self.backend.init_vars(rng)
                 if pose_vars is None:
                     pose_vars = self.pose.init(
                         rng,
