@@ -23,7 +23,7 @@ import json
 import time
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 250.0  # 1k/s on v5e-4 (BASELINE.md)
-BATCH = 16
+BATCH = 32
 LOOP_ITERS = 10
 TRIALS = 3
 
@@ -73,7 +73,7 @@ def main():
     imgs_per_sec = BATCH * LOOP_ITERS / best
     print(json.dumps({
         "metric": "fused det+pose+proportion imgs/sec/chip "
-                  "(EDet-Lite4 + 3x HRNet-W32, batch 16)",
+                  "(EDet-Lite4 + 3x HRNet-W32, batch 32)",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),

@@ -34,7 +34,26 @@ def run_demo_pose_est(
     from human_body_proportion_estimation_tpu.models.hrnet import create_hrnet
 
     start = time.time()
-    model = create_hrnet(model_name)
+    if model_name == "higherhrnet":
+        # alternative pose family; the reference consumes its "output_2"
+        # higher-resolution heatmaps (pose_est_hrnet_trtserver.py:22-28)
+        from human_body_proportion_estimation_tpu.models.higherhrnet import (
+            HigherHRNet,
+        )
+
+        base = HigherHRNet()
+        import flax.linen as fnn
+
+        class _Output2(fnn.Module):
+            inner: HigherHRNet
+
+            @fnn.compact
+            def __call__(self, x, train: bool = False):
+                return self.inner(x, train)["output_2"]
+
+        model = _Output2(base)
+    else:
+        model = create_hrnet(model_name)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(
@@ -98,7 +117,7 @@ def run_demo_pose_est(
 def main():
     parser = build_parser("Single Person Pose Estimation (TPU)")
     parser.add_argument("--model", default="hrnet_w32",
-                        choices=("hrnet_w32", "hrnet_w48"))
+                        choices=("hrnet_w32", "hrnet_w48", "higherhrnet"))
     args = parser.parse_args()
     run_demo_pose_est(
         args.input_path,

@@ -3,22 +3,31 @@
 The reference has no checkpoint subsystem at all — model weights arrive as
 a Google-Drive zip of ONNX/SavedModel/TensorRT blobs (README :13-26) that
 Triton loads by directory convention. Here weights are first-class orbax
-checkpoints of flax variable pytrees, restored once at server start.
+checkpoints of flax variable pytrees, restored once at server start, plus
+converters from the public upstream formats:
 
-`import_torch_hrnet` maps an official pose_hrnet state_dict (the public
-HRNet release the reference's engine was exported from) onto this repo's
-flax module tree, for environments where a .pth is available; the mapping
-is pure tensor renaming + OIHW->HWIO transposes, no torch runtime needed
-beyond deserialization.
+  * `import_torch_hrnet` — official pose_hrnet (leaderboard HRNet release)
+    state_dict -> our flax tree. Pure tensor renaming + OIHW->HWIO
+    transposes; validated by an exact export/import round trip in tests
+    (no torch runtime needed, state_dict values as numpy).
+  * `models/tflite_import.py` — the SSD path (real weights, see there).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import numpy as np
+
+from human_body_proportion_estimation_tpu.models.hrnet import (
+    HRNET_W32,
+    HRNetConfig,
+)
+
+# --------------------------------------------------------------------- #
+# orbax checkpoints
 
 
 def _checkpointer():
@@ -47,78 +56,175 @@ def load_pipeline_checkpoint(directory: str) -> Tuple[Any, Any]:
 
 
 # --------------------------------------------------------------------- #
-# torch -> flax import for HRNet
+# torch pose_hrnet <-> flax name mapping
+#
+# Official naming (pose_hrnet): conv1/bn1, conv2/bn2, layer1.{k}.conv{c}/
+# bn{c} (+ downsample.0/.1), transition{t}.{i}[.0].{0,1}, stage{s}.{m}.
+# branches.{b}.{k}.conv{c}/bn{c}, stage{s}.{m}.fuse_layers.{i}.{j}[...],
+# final_layer. Ours: stem1/2, layer1_{k}.conv{c}(+downsample),
+# transition{t+1}.adapt_/new_{i}, stage{s}_module{m}.branch{b}_block{k},
+# .fuse.up_{j}_{i}/down_{j}_{i}_{step}, head — see models/hrnet.py.
 
 
-def _conv_kernel(t: np.ndarray) -> np.ndarray:
-    """torch OIHW -> flax HWIO."""
-    return np.transpose(t, (2, 3, 1, 0))
+def _hrnet_pairs(cfg: HRNetConfig) -> List[Tuple[Tuple[str, ...], str, str]]:
+    """[(flax ConvBN module path, torch conv key, torch bn prefix)].
+
+    Covers every ConvBN in the model; the head is handled separately.
+    """
+    pairs: List[Tuple[Tuple[str, ...], str, str]] = [
+        (("stem1",), "conv1.weight", "bn1"),
+        (("stem2",), "conv2.weight", "bn2"),
+    ]
+    for k in range(4):
+        for c in (1, 2, 3):
+            pairs.append(
+                ((f"layer1_{k}", f"conv{c}"),
+                 f"layer1.{k}.conv{c}.weight", f"layer1.{k}.bn{c}")
+            )
+        if k == 0:  # only the first bottleneck changes channels
+            pairs.append(
+                ((f"layer1_{k}", "downsample"),
+                 f"layer1.{k}.downsample.0.weight",
+                 f"layer1.{k}.downsample.1")
+            )
+
+    prev: Tuple[int, ...] = (cfg.bottleneck_channels * 4,)
+    for stage_idx, (n_modules, channels) in enumerate(
+        zip(cfg.stage_modules, cfg.branch_channels)
+    ):
+        t_ours = f"transition{stage_idx + 2}"
+        t_torch = f"transition{stage_idx + 1}"
+        for i, ch in enumerate(channels):
+            if i < len(prev):
+                if prev[i] != ch:
+                    pairs.append(
+                        ((t_ours, f"adapt_{i}"),
+                         f"{t_torch}.{i}.0.weight", f"{t_torch}.{i}.1")
+                    )
+            else:
+                pairs.append(
+                    ((t_ours, f"new_{i}"),
+                     f"{t_torch}.{i}.0.0.weight", f"{t_torch}.{i}.0.1")
+                )
+        s_torch = f"stage{stage_idx + 2}"
+        for m in range(n_modules):
+            mod = f"stage{stage_idx + 2}_module{m}"
+            for b in range(len(channels)):
+                for k in range(cfg.blocks_per_branch):
+                    base = f"{s_torch}.{m}.branches.{b}.{k}"
+                    pairs.append(
+                        ((mod, f"branch{b}_block{k}", "conv1"),
+                         f"{base}.conv1.weight", f"{base}.bn1")
+                    )
+                    pairs.append(
+                        ((mod, f"branch{b}_block{k}", "conv2"),
+                         f"{base}.conv2.weight", f"{base}.bn2")
+                    )
+            n = len(channels)
+            for i in range(n):
+                for j in range(n):
+                    if j > i:
+                        pairs.append(
+                            ((mod, "fuse", f"up_{j}_{i}"),
+                             f"{s_torch}.{m}.fuse_layers.{i}.{j}.0.weight",
+                             f"{s_torch}.{m}.fuse_layers.{i}.{j}.1")
+                        )
+                    elif j < i:
+                        for step in range(i - j):
+                            pairs.append(
+                                ((mod, "fuse", f"down_{j}_{i}_{step}"),
+                                 f"{s_torch}.{m}.fuse_layers.{i}.{j}."
+                                 f"{step}.0.weight",
+                                 f"{s_torch}.{m}.fuse_layers.{i}.{j}."
+                                 f"{step}.1")
+                            )
+        prev = channels
+    return pairs
 
 
-def _bn(params: Dict[str, np.ndarray], prefix: str):
-    return (
-        {"scale": params[f"{prefix}.weight"],
-         "bias": params[f"{prefix}.bias"]},
-        {"mean": params[f"{prefix}.running_mean"],
-         "var": params[f"{prefix}.running_var"]},
-    )
+def _get(tree: Dict, path: Tuple[str, ...]) -> Dict:
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _conv_to_flax(t: np.ndarray) -> np.ndarray:
+    return np.transpose(t, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _conv_to_torch(t: np.ndarray) -> np.ndarray:
+    return np.transpose(t, (3, 2, 0, 1))  # HWIO -> OIHW
 
 
 def import_torch_hrnet(
-    state_dict: Dict[str, np.ndarray], flax_vars: Any
+    state_dict: Dict[str, np.ndarray],
+    flax_vars: Any,
+    config: HRNetConfig = HRNET_W32,
+    strict: bool = False,
 ) -> Any:
-    """Map an official pose_hrnet state_dict onto our flax tree.
+    """Map a pose_hrnet state_dict (numpy values) onto our variable tree.
 
-    Expects numpy-valued `state_dict` (torch tensors already `.numpy()`d).
-    Returns a new variables pytree with the same structure as `flax_vars`.
-
-    Name correspondence (official -> ours):
-      conv1/bn1, conv2/bn2                -> stem1, stem2
-      layer1.{k}.conv{1,2,3}/bn{1,2,3}    -> layer1_{k}.conv{1,2,3}
-      layer1.{k}.downsample.{0,1}         -> layer1_{k}.downsample
-      transition{t}.{i}.0.{0,1}           -> transition{t+?}.adapt_/new_{i}
-      stage{s}.{m}.branches.{b}.{k}.*     -> stage{s}_module{m}.branch{b}_block{k}.*
-      stage{s}.{m}.fuse_layers.{i}.{j}.*  -> stage{s}_module{m}.fuse.up_/down_*
-      final_layer                         -> head
+    Missing torch keys are skipped unless `strict` (official checkpoints
+    lack the unused fuse rows of the final stage-4 module — those branches
+    are dead code after the head and XLA removes them).
     """
-    import copy
-
-    out = jax.tree.map(lambda x: x, flax_vars)  # shallow copy of structure
-    params = out["params"]
-    stats = out["batch_stats"]
-
-    def set_convbn(dst_name: str, conv_key: str, bn_key: str):
-        p, s = _bn(state_dict, bn_key)
-        params[dst_name]["conv"]["kernel"] = _conv_kernel(
-            state_dict[f"{conv_key}.weight"]
+    params = jax.tree.map(np.asarray, flax_vars["params"])
+    stats = jax.tree.map(np.asarray, flax_vars["batch_stats"])
+    imported = 0
+    for path, conv_key, bn_prefix in _hrnet_pairs(config):
+        if conv_key not in state_dict:
+            if strict:
+                raise KeyError(conv_key)
+            continue
+        _get(params, path)["conv"]["kernel"] = _conv_to_flax(
+            state_dict[conv_key]
+        ).astype(np.float32)
+        bn_p = _get(params, path)["bn"]
+        bn_s = _get(stats, path)["bn"]
+        bn_p["scale"] = state_dict[f"{bn_prefix}.weight"].astype(np.float32)
+        bn_p["bias"] = state_dict[f"{bn_prefix}.bias"].astype(np.float32)
+        bn_s["mean"] = state_dict[f"{bn_prefix}.running_mean"].astype(
+            np.float32
         )
-        params[dst_name]["bn"].update(p)
-        stats[dst_name]["bn"].update(s)
+        bn_s["var"] = state_dict[f"{bn_prefix}.running_var"].astype(
+            np.float32
+        )
+        imported += 1
+    if "final_layer.weight" in state_dict:
+        params["head"]["kernel"] = _conv_to_flax(
+            state_dict["final_layer.weight"]
+        ).astype(np.float32)
+        params["head"]["bias"] = state_dict["final_layer.bias"].astype(
+            np.float32
+        )
+        imported += 1
+    if imported == 0:
+        raise ValueError("no tensors imported — wrong state_dict format?")
+    return {"params": params, "batch_stats": stats}
 
-    set_convbn("stem1", "conv1", "bn1")
-    set_convbn("stem2", "conv2", "bn2")
-    for k in range(4):
-        blk = f"layer1_{k}"
-        for ci in (1, 2, 3):
-            set_convbn_nested(
-                params[blk], stats[blk], f"conv{ci}",
-                state_dict, f"layer1.{k}.conv{ci}", f"layer1.{k}.bn{ci}",
-            )
-        if f"layer1.{k}.downsample.0.weight" in state_dict:
-            set_convbn_nested(
-                params[blk], stats[blk], "downsample",
-                state_dict, f"layer1.{k}.downsample.0",
-                f"layer1.{k}.downsample.1",
-            )
-    # transitions + stages share the generic mapping; implemented lazily as
-    # checkpoints become available (no public .pth is bundled in this repo).
-    params["head"]["kernel"] = _conv_kernel(state_dict["final_layer.weight"])
-    params["head"]["bias"] = state_dict["final_layer.bias"]
+
+def export_torch_hrnet(
+    flax_vars: Any, config: HRNetConfig = HRNET_W32
+) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_hrnet` (used to validate the mapping by
+    exact round trip; also lets our fine-tuned weights flow back to torch
+    tooling)."""
+    params = flax_vars["params"]
+    stats = flax_vars["batch_stats"]
+    out: Dict[str, np.ndarray] = {}
+    for path, conv_key, bn_prefix in _hrnet_pairs(config):
+        out[conv_key] = _conv_to_torch(
+            np.asarray(_get(params, path)["conv"]["kernel"])
+        )
+        bn_p = _get(params, path)["bn"]
+        bn_s = _get(stats, path)["bn"]
+        out[f"{bn_prefix}.weight"] = np.asarray(bn_p["scale"])
+        out[f"{bn_prefix}.bias"] = np.asarray(bn_p["bias"])
+        out[f"{bn_prefix}.running_mean"] = np.asarray(bn_s["mean"])
+        out[f"{bn_prefix}.running_var"] = np.asarray(bn_s["var"])
+    out["final_layer.weight"] = _conv_to_torch(
+        np.asarray(params["head"]["kernel"])
+    )
+    out["final_layer.bias"] = np.asarray(params["head"]["bias"])
     return out
-
-
-def set_convbn_nested(pdst, sdst, name, sd, conv_key, bn_key):
-    p, s = _bn(sd, bn_key)
-    pdst[name]["conv"]["kernel"] = _conv_kernel(sd[f"{conv_key}.weight"])
-    pdst[name]["bn"].update(p)
-    sdst[name]["bn"].update(s)

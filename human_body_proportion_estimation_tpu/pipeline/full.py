@@ -153,8 +153,20 @@ class FusedPipeline:
             b, p, cfg.pose.num_keypoints, hm_h, hm_w
         )
 
-        # -- decode + gate (pose_estimator.py:75-99, driver :162-163) --
-        kp_hm, kp_scores = hm_ops.decode_heatmaps(heatmaps)
+        # -- decode + gate (pose_estimator.py:75-99, driver :162-163);
+        #    the Pallas kernel fuses the per-slot argmax on TPU --
+        if jax.devices()[0].platform == "tpu":
+            from human_body_proportion_estimation_tpu.ops.pallas_kernels import (
+                decode_heatmaps_pallas,
+            )
+
+            kp_flat, sc_flat = decode_heatmaps_pallas(
+                heatmaps.reshape(b * p, cfg.pose.num_keypoints, hm_h, hm_w)
+            )
+            kp_hm = kp_flat.reshape(b, p, cfg.pose.num_keypoints, 2)
+            kp_scores = sc_flat.reshape(b, p, cfg.pose.num_keypoints)
+        else:
+            kp_hm, kp_scores = hm_ops.decode_heatmaps(heatmaps)
         kp_visible = hm_ops.gate_keypoints(
             kp_scores, cfg.pose.keypoint_thresholds
         )

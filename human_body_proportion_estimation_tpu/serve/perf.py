@@ -1,0 +1,150 @@
+"""perf_analyzer-equivalent load generator for the HTTP service.
+
+The reference benchmarks with Triton's closed-source `perf_analyzer` binary
+(README :82-87): gRPC, batch 1, concurrency sweep 5:20:5, p95 latency on
+random inputs. This module reproduces that method against our HTTP edge:
+for each concurrency level C it keeps C in-flight multipart requests
+looping for a measurement window and reports throughput + latency
+percentiles — producing the comparison table the reference never shipped
+(BASELINE.md).
+
+Usage:
+    python -m human_body_proportion_estimation_tpu.serve.perf \
+        --url http://127.0.0.1:8080 --concurrency 5:20:5 --seconds 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+import uuid
+from typing import Dict, List
+
+
+def _random_jpeg(hw=(300, 300)) -> bytes:
+    import cv2
+    import numpy as np
+
+    img = np.random.default_rng(0).integers(
+        0, 256, (*hw, 3), dtype=np.uint8
+    )
+    ok, enc = cv2.imencode(".jpg", img)
+    assert ok
+    return enc.tobytes()
+
+
+def _multipart(file_bytes: bytes) -> tuple[bytes, str]:
+    boundary = uuid.uuid4().hex
+    out = io.BytesIO()
+    out.write(f"--{boundary}\r\n".encode())
+    out.write(b'Content-Disposition: form-data; name="file"; '
+              b'filename="perf.jpg"\r\n\r\n')
+    out.write(file_bytes)
+    out.write(f"\r\n--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def _pct(values: List[float], q: float) -> float:
+    if not values:
+        return 0.0
+    s = sorted(values)
+    return s[min(len(s) - 1, int(round(q / 100 * (len(s) - 1))))]
+
+
+def run_level(
+    host: str, port: int, path: str, concurrency: int, seconds: float,
+    body: bytes, ctype: str,
+) -> Dict:
+    """One concurrency level: C looping workers for `seconds`."""
+    import http.client
+
+    latencies: List[float] = []
+    errors = [0]
+    stop = time.perf_counter() + seconds
+    lock = threading.Lock()
+
+    def worker():
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", path, body=body,
+                             headers={"Content-Type": ctype})
+                resp = conn.getresponse()
+                data = resp.read()
+                ok = resp.status == 200 and b"code" in data
+            except Exception:
+                ok = False
+                conn.close()
+                conn = http.client.HTTPConnection(host, port, timeout=120)
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+                if not ok:
+                    errors[0] += 1
+        conn.close()
+
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    return {
+        "concurrency": concurrency,
+        "requests": len(latencies),
+        "errors": errors[0],
+        "throughput_rps": len(latencies) / wall,
+        "latency_ms_p50": 1e3 * _pct(latencies, 50),
+        "latency_ms_p95": 1e3 * _pct(latencies, 95),
+        "latency_ms_p99": 1e3 * _pct(latencies, 99),
+    }
+
+
+def run_sweep(
+    url: str, concurrency_spec: str = "5:20:5", seconds: float = 10.0,
+    warmup_requests: int = 3, input_hw=(300, 300),
+) -> List[Dict]:
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    host, port = u.hostname, u.port or 80
+    path = "/body_proportion_length_estimation_file"
+    body, ctype = _multipart(_random_jpeg(input_hw))
+
+    # warmup (first-compile)
+    import http.client
+
+    conn = http.client.HTTPConnection(host, port, timeout=600)
+    for _ in range(warmup_requests):
+        conn.request("POST", path, body=body,
+                     headers={"Content-Type": ctype})
+        conn.getresponse().read()
+    conn.close()
+
+    lo, hi, step = (int(x) for x in concurrency_spec.split(":"))
+    results = []
+    for c in range(lo, hi + 1, step):
+        r = run_level(host, port, path, c, seconds, body, ctype)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser(description="HTTP perf sweep")
+    parser.add_argument("--url", default="http://127.0.0.1:8080")
+    parser.add_argument("--concurrency", default="5:20:5",
+                        help="lo:hi:step (reference perf_analyzer sweep)")
+    parser.add_argument("--seconds", type=float, default=10.0)
+    args = parser.parse_args()
+    run_sweep(args.url, args.concurrency, args.seconds)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,13 +66,41 @@ class ServingApp:
         self.config = config or pipeline.config
         self.metrics = Metrics()
         serve_cfg = self.config.serve
-        self.batcher = DynamicBatcher(
-            self._run_batch,
-            max_batch=serve_cfg.max_batch,
-            batch_timeout_ms=serve_cfg.batch_timeout_ms,
-            queue_depth=serve_cfg.queue_depth,
-            metrics=self.metrics,
-        )
+        self.native = False
+        if serve_cfg.native_batcher:
+            try:
+                from human_body_proportion_estimation_tpu.serve.native import (
+                    NativeBatcher,
+                )
+
+                self.batcher = NativeBatcher(
+                    self._run_batch,
+                    max_batch=serve_cfg.max_batch,
+                    batch_timeout_ms=serve_cfg.batch_timeout_ms,
+                    queue_depth=serve_cfg.queue_depth,
+                )
+                self.native = True
+            except Exception as e:  # noqa: BLE001 — toolchain missing
+                print(f"native serving core unavailable ({e}); "
+                      "using the Python batcher")
+        if not self.native:
+            self.batcher = DynamicBatcher(
+                self._run_batch,
+                max_batch=serve_cfg.max_batch,
+                batch_timeout_ms=serve_cfg.batch_timeout_ms,
+                queue_depth=serve_cfg.queue_depth,
+                metrics=self.metrics,
+            )
+
+    def metrics_snapshot(self) -> Dict[str, Any]:
+        if self.native:
+            m = self.batcher.metrics_json()
+            # unified key set across engines
+            m["requests_total"] = m.get("completed", 0)
+            m["failures_total"] = m.get("rejected", 0)
+            m["batches_total"] = m.get("batches", 0)
+            return {"engine": "native", **m}
+        return {"engine": "python", **self.metrics.snapshot()}
 
     def _run_batch(self, payloads: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         images = [p["image"] for p in payloads]
@@ -171,7 +199,7 @@ def make_handler(app: ServingApp):
                     "devices": [str(d) for d in jax.devices()],
                 })
             elif self.path == "/metrics":
-                self._send_json(app.metrics.snapshot())
+                self._send_json(app.metrics_snapshot())
             elif self.path == "/docs":
                 self._send_json({
                     "POST /body_proportion_length_estimation_file": {
@@ -230,7 +258,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument(
         "--detector", default="efficientdet_lite4",
-        choices=["efficientdet_lite4", "efficientdet_lite0"],
+        choices=["efficientdet_lite4", "efficientdet_lite0",
+                 "ssd_mobilenet"],
+        help="ssd_mobilenet uses REAL weights from the reference's "
+             "checked-in ssd.tflite",
     )
     parser.add_argument("--checkpoint-dir", default=None,
                         help="orbax checkpoint dir with det/pose params")
@@ -253,7 +284,8 @@ def main(argv=None):
             args.checkpoint_dir
         )
     pipeline = InferencePipeline(
-        det_config=det_cfg, det_vars=det_vars, pose_vars=pose_vars
+        det_config=det_cfg, det_vars=det_vars, pose_vars=pose_vars,
+        detector=args.detector if args.detector == "ssd_mobilenet" else None,
     )
     app = ServingApp(pipeline)
     server = create_server(app, args.host, args.port)

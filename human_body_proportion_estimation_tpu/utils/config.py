@@ -68,10 +68,14 @@ class ServeConfig:
 
     host: str = "0.0.0.0"
     port: int = 8080
-    max_batch: int = 8
+    max_batch: int = 16
     batch_timeout_ms: float = 4.0
     queue_depth: int = 256
     default_person_height_cm: int = 175  # reference server.py:27
+    # prefer the C++ serving core (native/serving_core.cpp) for queueing/
+    # deadline batching, falling back to the Python batcher if the native
+    # library can't be built
+    native_batcher: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

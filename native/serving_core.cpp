@@ -1,0 +1,214 @@
+// Native serving core: request queue + deadline batcher + metrics.
+//
+// This is the C++ runtime layer of the framework — the role NVIDIA Triton's
+// C++ scheduler/dynamic-batcher plays in the reference deployment
+// (reference docker/trt_server, config.pbtxt batching; the repo itself has
+// no native sources, SURVEY §2.2). Python HTTP threads submit opaque
+// request ids; a dispatcher thread pulls deadline-batched groups and runs
+// the fused TPU program; completions feed log-bucketed latency histograms.
+// Exposed as a C ABI for ctypes (no pybind11 in the image).
+//
+// Concurrency model: one mutex + two condvars (producer/consumer). The
+// queue holds plain uint64 ids — payloads stay on the Python side, so no
+// GIL interaction or object lifetime management crosses the boundary.
+//
+// Build: g++ -O2 -shared -fPIC -o libhbpe_serving.so serving_core.cpp
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+double now_ms() {
+  return std::chrono::duration<double, std::milli>(
+             Clock::now().time_since_epoch())
+      .count();
+}
+
+struct Histogram {
+  // log2 buckets over [0.25ms, ~8.6min]
+  static constexpr int kBuckets = 21;
+  uint64_t counts[kBuckets] = {0};
+  double sum_ms = 0;
+  uint64_t total = 0;
+
+  void observe(double ms) {
+    int b = 0;
+    double edge = 0.25;
+    while (b < kBuckets - 1 && ms > edge) {
+      edge *= 2;
+      ++b;
+    }
+    counts[b]++;
+    sum_ms += ms;
+    total++;
+  }
+
+  double percentile(double q) const {
+    if (total == 0) return 0;
+    uint64_t target = (uint64_t)(q * (double)(total - 1) + 0.5);
+    uint64_t seen = 0;
+    double edge = 0.25;
+    for (int b = 0; b < kBuckets; ++b) {
+      seen += counts[b];
+      if (seen > target) return edge;
+      edge *= 2;
+    }
+    return edge;
+  }
+};
+
+struct QueueEntry {
+  uint64_t id;
+  double enqueue_ms;
+};
+
+struct Core {
+  int max_batch;
+  double timeout_ms;
+  size_t queue_depth;
+
+  std::mutex mu;
+  std::condition_variable cv_nonempty;
+  std::deque<QueueEntry> queue;
+  bool stopping = false;
+
+  // metrics (guarded by mu)
+  uint64_t submitted = 0;
+  uint64_t rejected = 0;
+  uint64_t completed = 0;
+  uint64_t batches = 0;
+  uint64_t batch_item_sum = 0;
+  Histogram latency;     // full request latency (set by complete())
+  Histogram queue_wait;  // time from submit to batch formation
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hbpe_core_create(int max_batch, double timeout_ms, int queue_depth) {
+  auto* c = new Core();
+  c->max_batch = max_batch > 0 ? max_batch : 1;
+  c->timeout_ms = timeout_ms >= 0 ? timeout_ms : 0;
+  c->queue_depth = queue_depth > 0 ? (size_t)queue_depth : 1;
+  return c;
+}
+
+void hbpe_core_destroy(void* h) { delete static_cast<Core*>(h); }
+
+// 0 = accepted, -1 = back-pressure (queue full), -2 = shut down
+int hbpe_core_submit(void* h, uint64_t id) {
+  auto* c = static_cast<Core*>(h);
+  {
+    std::lock_guard<std::mutex> lock(c->mu);
+    if (c->stopping) return -2;
+    if (c->queue.size() >= c->queue_depth) {
+      c->rejected++;
+      return -1;
+    }
+    c->queue.push_back({id, now_ms()});
+    c->submitted++;
+  }
+  c->cv_nonempty.notify_one();
+  return 0;
+}
+
+// Blocks up to wait_ms for the first item, then applies the deadline
+// batching policy: gather until max_batch items or timeout_ms elapsed since
+// the FIRST item of this batch was dequeued. Returns the number of ids
+// written into out_ids (0 on timeout/shutdown-and-empty).
+int hbpe_core_next_batch(void* h, uint64_t* out_ids, int cap,
+                         double wait_ms) {
+  auto* c = static_cast<Core*>(h);
+  std::unique_lock<std::mutex> lock(c->mu);
+  if (!c->cv_nonempty.wait_for(
+          lock, std::chrono::duration<double, std::milli>(wait_ms),
+          [c] { return !c->queue.empty() || c->stopping; }))
+    return 0;
+  if (c->queue.empty()) return 0;  // stopping
+
+  int limit = std::min(cap, c->max_batch);
+  int n = 0;
+  double batch_start = now_ms();
+  auto take = [&] {
+    while (n < limit && !c->queue.empty()) {
+      QueueEntry e = c->queue.front();
+      c->queue.pop_front();
+      c->queue_wait.observe(now_ms() - e.enqueue_ms);
+      out_ids[n++] = e.id;
+    }
+  };
+  take();
+  // wait out the remainder of the deadline for stragglers
+  while (n < limit && !c->stopping) {
+    double remaining = c->timeout_ms - (now_ms() - batch_start);
+    if (remaining <= 0) break;
+    c->cv_nonempty.wait_for(
+        lock, std::chrono::duration<double, std::milli>(remaining));
+    take();
+  }
+  c->batches++;
+  c->batch_item_sum += (uint64_t)n;
+  return n;
+}
+
+void hbpe_core_complete(void* h, const uint64_t* /*ids*/, int n,
+                        const double* latencies_ms) {
+  auto* c = static_cast<Core*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  for (int i = 0; i < n; ++i) {
+    c->completed++;
+    c->latency.observe(latencies_ms[i]);
+  }
+}
+
+void hbpe_core_shutdown(void* h) {
+  auto* c = static_cast<Core*>(h);
+  {
+    std::lock_guard<std::mutex> lock(c->mu);
+    c->stopping = true;
+  }
+  c->cv_nonempty.notify_all();
+}
+
+int hbpe_core_queue_size(void* h) {
+  auto* c = static_cast<Core*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  return (int)c->queue.size();
+}
+
+// JSON metrics snapshot; returns bytes written (excluding NUL), or -1 if
+// the buffer is too small.
+int hbpe_core_metrics_json(void* h, char* buf, int cap) {
+  auto* c = static_cast<Core*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  double mean_batch =
+      c->batches ? (double)c->batch_item_sum / (double)c->batches : 0.0;
+  int n = snprintf(
+      buf, (size_t)cap,
+      "{\"submitted\": %llu, \"rejected\": %llu, \"completed\": %llu, "
+      "\"batches\": %llu, \"mean_batch_size\": %.3f, "
+      "\"queue_size\": %d, "
+      "\"latency_ms_p50\": %.3f, \"latency_ms_p95\": %.3f, "
+      "\"latency_ms_p99\": %.3f, "
+      "\"queue_wait_ms_p95\": %.3f}",
+      (unsigned long long)c->submitted, (unsigned long long)c->rejected,
+      (unsigned long long)c->completed, (unsigned long long)c->batches,
+      mean_batch, (int)c->queue.size(), c->latency.percentile(0.50),
+      c->latency.percentile(0.95), c->latency.percentile(0.99),
+      c->queue_wait.percentile(0.95));
+  return (n >= 0 && n < cap) ? n : -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""Native C++ serving core: build, batching semantics, metrics, stress."""
+
+import queue
+import shutil
+import threading
+import time
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None and shutil.which("make") is None,
+    reason="no C++ toolchain",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    from human_body_proportion_estimation_tpu.serve.native import (
+        build_library,
+    )
+
+    return build_library()
+
+
+def test_batcher_roundtrip_and_order():
+    from human_body_proportion_estimation_tpu.serve.native import (
+        NativeBatcher,
+    )
+
+    b = NativeBatcher(lambda ps: [p * 2 for p in ps], max_batch=4,
+                      batch_timeout_ms=20)
+    futs = [b.submit(i) for i in range(10)]
+    assert [f.result(10) for f in futs] == [i * 2 for i in range(10)]
+    m = b.metrics_json()
+    assert m["submitted"] == 10 and m["completed"] == 10
+    assert m["mean_batch_size"] > 1.0  # coalescing happened
+    b.shutdown()
+
+
+def test_backpressure():
+    from human_body_proportion_estimation_tpu.serve.native import (
+        NativeBatcher,
+    )
+
+    release = threading.Event()
+
+    def slow(ps):
+        release.wait(10)
+        return ps
+
+    b = NativeBatcher(slow, max_batch=1, batch_timeout_ms=0, queue_depth=2)
+    b.submit(0)           # consumed by the dispatcher, blocks in runner
+    time.sleep(0.1)
+    b.submit(1)
+    b.submit(2)           # queue now at capacity 2
+    with pytest.raises(queue.Full):
+        for _ in range(4):  # next submits must hit back-pressure
+            b.submit(99)
+    assert b.metrics_json()["rejected"] >= 1
+    release.set()
+    b.shutdown()
+
+
+def test_runner_exception_propagates():
+    from human_body_proportion_estimation_tpu.serve.native import (
+        NativeBatcher,
+    )
+
+    def boom(ps):
+        raise ValueError("native boom")
+
+    b = NativeBatcher(boom, max_batch=2, batch_timeout_ms=1)
+    fut = b.submit("x")
+    with pytest.raises(ValueError, match="native boom"):
+        fut.result(10)
+    b.shutdown()
+
+
+def test_concurrent_stress():
+    from human_body_proportion_estimation_tpu.serve.native import (
+        NativeBatcher,
+    )
+
+    b = NativeBatcher(lambda ps: [p + 1 for p in ps], max_batch=8,
+                      batch_timeout_ms=2, queue_depth=512)
+    results = []
+    lock = threading.Lock()
+
+    def client(base):
+        futs = [b.submit(base + i) for i in range(50)]
+        vals = [f.result(30) for f in futs]
+        with lock:
+            results.extend(
+                v == base + i + 1 for i, v in enumerate(vals)
+            )
+
+    threads = [threading.Thread(target=client, args=(k * 1000,))
+               for k in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 400 and all(results)
+    m = b.metrics_json()
+    assert m["completed"] == 400
+    assert m["latency_ms_p95"] > 0
+    b.shutdown()

@@ -1,0 +1,55 @@
+"""perf sweep harness against the in-process tiny server (short window)."""
+
+import threading
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_server():
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.server import (
+        ServingApp,
+        create_server,
+    )
+    from human_body_proportion_estimation_tpu.utils.config import (
+        DetectorConfig,
+        PipelineConfig,
+        PoseConfig,
+        ServeConfig,
+    )
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(input_height=128, input_width=128),
+        pose=PoseConfig(crop_height=64, crop_width=64,
+                        heatmap_height=16, heatmap_width=16),
+        serve=ServeConfig(max_batch=4, batch_timeout_ms=3),
+    )
+    app = ServingApp(InferencePipeline(config=cfg,
+                                       det_config=EFFICIENTDET_LITE0))
+    server = create_server(app, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server.server_address[1]
+    server.shutdown()
+    app.shutdown()
+
+
+def test_sweep_produces_levels(tiny_server):
+    from human_body_proportion_estimation_tpu.serve.perf import run_sweep
+
+    results = run_sweep(
+        f"http://127.0.0.1:{tiny_server}", "1:2:1", seconds=2.0,
+        warmup_requests=2, input_hw=(64, 64),
+    )
+    assert [r["concurrency"] for r in results] == [1, 2]
+    for r in results:
+        assert r["requests"] > 0
+        assert r["errors"] == 0
+        assert r["latency_ms_p95"] >= r["latency_ms_p50"] > 0
+        assert r["throughput_rps"] > 0
