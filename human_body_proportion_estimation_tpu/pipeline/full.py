@@ -203,3 +203,28 @@ class FusedPipeline:
             functools.partial(self.forward, with_heatmaps=with_heatmaps),
             **jit_kwargs,
         )
+
+    def forward_serving(self, det_vars, pose_vars, images, det_threshold,
+                        person_heights, orig_hw) -> jax.Array:
+        """Serving variant: everything the HTTP response needs packed into
+        ONE [B, P, 23] f32 tensor (valid | 11 lengths | 11 visibility).
+
+        Under the remote-TPU tunnel every device->host array fetch is a
+        full round trip (~30 ms); the response only needs these 23 scalars
+        per person slot, so packing turns per-request latency from O(leaves
+        x batch) round trips into exactly one."""
+        out = self.forward(
+            det_vars, pose_vars, images, det_threshold, person_heights,
+            orig_hw, with_heatmaps=False,
+        )
+        return jnp.concatenate(
+            [
+                out.person_valid.astype(jnp.float32)[..., None],
+                out.lengths_cm,
+                out.seg_visible.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    def jit_forward_serving(self, **jit_kwargs):
+        return jax.jit(self.forward_serving, **jit_kwargs)

@@ -148,6 +148,30 @@ class InferencePipeline:
             )
         return self._programs[with_heatmaps]
 
+    def _serving_program(self):
+        if "serving" not in self._programs:
+            self._programs["serving"] = self.fused.jit_forward_serving()
+        return self._programs["serving"]
+
+    def infer_serving(
+        self,
+        images_rgb: Sequence[np.ndarray],
+        person_heights: Sequence[float] | float = 175.0,
+        det_threshold: Sequence[float] | float = 0.70,
+    ) -> np.ndarray:
+        """Lean serving path: one packed [n, P, 23] numpy array
+        (valid | lengths_cm x11 | seg_visible x11) in a single device
+        readback — see FusedPipeline.forward_serving."""
+        batch, thresholds, heights, orig_hw, n = self._prepare(
+            images_rgb, person_heights, det_threshold
+        )
+        packed = self._serving_program()(
+            self.det_vars, self.pose_vars, jnp.asarray(batch),
+            jnp.asarray(thresholds), jnp.asarray(heights),
+            jnp.asarray(orig_hw),
+        )
+        return np.asarray(packed)[:n]
+
     def infer_images(
         self,
         images_rgb: Sequence[np.ndarray],
@@ -161,6 +185,20 @@ class InferencePipeline:
         list-per-image of per-person heights (CLI semantics,
         `FLAGS.p_height[min(i, len-1)]`, driver :167).
         """
+        batch, thresholds, heights, orig_hw, n = self._prepare(
+            images_rgb, person_heights, det_threshold
+        )
+        out = self._program(with_heatmaps)(
+            self.det_vars,
+            self.pose_vars,
+            jnp.asarray(batch),
+            jnp.asarray(thresholds),
+            jnp.asarray(heights),
+            jnp.asarray(orig_hw),
+        )
+        return jax.tree.map(lambda x: x[:n] if x is not None else None, out)
+
+    def _prepare(self, images_rgb, person_heights, det_threshold):
         cfg = self.config
         n = len(images_rgb)
         b = _pad_batch(n, cfg.serve.max_batch)
@@ -189,16 +227,7 @@ class InferencePipeline:
                     heights[i, slot] = float(
                         per_img[min(slot, len(per_img) - 1)]
                     )
-
-        out = self._program(with_heatmaps)(
-            self.det_vars,
-            self.pose_vars,
-            jnp.asarray(batch),
-            jnp.asarray(thresholds),
-            jnp.asarray(heights),
-            jnp.asarray(orig_hw),
-        )
-        return jax.tree.map(lambda x: x[:n] if x is not None else None, out)
+        return batch, thresholds, heights, orig_hw, n
 
     # ------------------------------------------------------------------ #
 

@@ -103,26 +103,39 @@ class ServingApp:
         return {"engine": "python", **self.metrics.snapshot()}
 
     def _run_batch(self, payloads: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        from human_body_proportion_estimation_tpu.ops import (
+            proportions as prop_ops,
+        )
+
         images = [p["image"] for p in payloads]
         heights = [[p["height"]] for p in payloads]
         thresholds = [p["threshold"] for p in payloads]
-        out = self.pipeline.infer_images(
+        # packed [n, P, 23] = valid | 11 lengths | 11 visibility — a single
+        # device readback per batch (tunnel round trips dominate otherwise)
+        packed = self.pipeline.infer_serving(
             images, person_heights=heights, det_threshold=thresholds
         )
         responses = []
         for i in range(len(payloads)):
-            dicts = format_image_result(out, i)[2:]
-            if not dicts:
+            row = packed[i]
+            # first valid person slot (reference serves person 0 only,
+            # server.py:61-67)
+            slot = next((s for s in range(row.shape[0]) if row[s, 0] > 0.5),
+                        None)
+            if slot is None:
                 responses.append({
                     "code": "success",
                     "msg": "No humans detected",
                     "body_proportion_lengths_(cm)": {},
                 })
             else:
+                d = prop_ops.to_dist_dict(
+                    row[slot, 1:12], row[slot, 12:23] > 0.5
+                )
                 responses.append({
                     "code": "success",
                     "msg": "human body proportion estimation complete",
-                    "body_proportion_lengths_(cm)": dicts[0],
+                    "body_proportion_lengths_(cm)": d,
                 })
         return responses
 
@@ -244,10 +257,15 @@ def make_handler(app: ServingApp):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+    # the stdlib default listen backlog (5) resets connections under
+    # concurrent load; perf sweeps open dozens of sockets at once
+    request_queue_size = 128
+
+
 def create_server(app: ServingApp, host: str, port: int) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port), make_handler(app))
-    server.daemon_threads = True
-    return server
+    return _Server((host, port), make_handler(app))
 
 
 def main(argv=None):
