@@ -274,6 +274,9 @@ def main(argv=None):
     )
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--grpc-port", type=int, default=8081,
+                        help="gRPC endpoint port (0 disables); the "
+                             "reference exposes Triton gRPC on 8081")
     parser.add_argument(
         "--detector", default="efficientdet_lite4",
         choices=["efficientdet_lite4", "efficientdet_lite0",
@@ -307,12 +310,24 @@ def main(argv=None):
     )
     app = ServingApp(pipeline)
     server = create_server(app, args.host, args.port)
+    grpc_server = None
+    if args.grpc_port:
+        from human_body_proportion_estimation_tpu.serve.grpc_server import (
+            create_grpc_server,
+        )
+
+        grpc_server, bound = create_grpc_server(app, args.host,
+                                                args.grpc_port)
+        grpc_server.start()
+        print(f"grpc on {args.host}:{bound}", flush=True)
     print(f"serving on {args.host}:{args.port}", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if grpc_server is not None:
+            grpc_server.stop(0)
         app.shutdown()
 
 
