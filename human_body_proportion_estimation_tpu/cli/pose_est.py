@@ -35,23 +35,11 @@ def run_demo_pose_est(
 
     start = time.time()
     if model_name == "higherhrnet":
-        # alternative pose family; the reference consumes its "output_2"
-        # higher-resolution heatmaps (pose_est_hrnet_trtserver.py:22-28)
         from human_body_proportion_estimation_tpu.models.higherhrnet import (
-            HigherHRNet,
+            HigherHRNetHeatmaps,
         )
 
-        base = HigherHRNet()
-        import flax.linen as fnn
-
-        class _Output2(fnn.Module):
-            inner: HigherHRNet
-
-            @fnn.compact
-            def __call__(self, x, train: bool = False):
-                return self.inner(x, train)["output_2"]
-
-        model = _Output2(base)
+        model = HigherHRNetHeatmaps()
     else:
         model = create_hrnet(model_name)
     cpu = jax.devices("cpu")[0]

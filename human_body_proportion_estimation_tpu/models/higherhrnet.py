@@ -103,3 +103,21 @@ class HigherHRNet(nn.Module):
             name="head2",
         )(d.astype(jnp.float32))
         return {"output_1": out1, "output_2": out2}
+
+
+class HigherHRNetHeatmaps(nn.Module):
+    """HigherHRNet exposed through the plain-heatmap contract the top-down
+    pipeline and pose CLI consume: returns only the 1/2-res "output_2"
+    heatmaps [B, H/2, W/2, K] (the tensor the reference reads,
+    pose_est_hrnet_trtserver.py:22-28)."""
+
+    config: HRNetConfig = HRNET_W32
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return HigherHRNet(
+            self.config, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="higher",
+        )(x, train)["output_2"]

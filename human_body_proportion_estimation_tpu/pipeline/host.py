@@ -115,7 +115,14 @@ class InferencePipeline:
             self.backend = EfficientDetBackend(
                 EfficientDet(config=det_config), cfg
             )
-        self.pose = create_hrnet(cfg.pose.name)
+        if cfg.pose.name == "higherhrnet":
+            from human_body_proportion_estimation_tpu.models.higherhrnet import (
+                HigherHRNetHeatmaps,
+            )
+
+            self.pose = HigherHRNetHeatmaps()
+        else:
+            self.pose = create_hrnet(cfg.pose.name)
         self.fused = FusedPipeline(cfg, self.backend, self.pose)
 
         if det_vars is None or pose_vars is None:
