@@ -99,7 +99,13 @@ class InferencePipeline:
         det_vars: Any | None = None,
         pose_vars: Any | None = None,
         detector: str | None = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
+        fused program is then jitted with the image batch sharded over
+        'data' and params replicated, scaling serving throughput linearly
+        over ICI (the reference is single-GPU only, SURVEY 2.3). Batch
+        sizes must be multiples of the data-axis size."""
         from human_body_proportion_estimation_tpu.pipeline.backends import (
             EfficientDetBackend,
             SSDBackend,
@@ -141,23 +147,54 @@ class InferencePipeline:
                             jnp.float32,
                         ),
                     )
-        device = jax.devices()[0]
-        self.det_vars = jax.device_put(det_vars, device)
-        self.pose_vars = jax.device_put(pose_vars, device)
-        self._programs: Dict[bool, Any] = {}
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self.det_vars = jax.device_put(det_vars, replicated)
+            self.pose_vars = jax.device_put(pose_vars, replicated)
+            self._data_sharding = NamedSharding(mesh, P("data"))
+        else:
+            device = jax.devices()[0]
+            self.det_vars = jax.device_put(det_vars, device)
+            self.pose_vars = jax.device_put(pose_vars, device)
+            self._data_sharding = None
+        self._programs: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------ #
+
+    def _jit_kwargs(self):
+        if self.mesh is None:
+            return {}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        ds = self._data_sharding
+        # (det_vars, pose_vars, images, thresholds, heights, orig_hw)
+        return {
+            "in_shardings": (
+                jax.tree.map(lambda _: rep, self.det_vars),
+                jax.tree.map(lambda _: rep, self.pose_vars),
+                NamedSharding(self.mesh, P("data", None, None, None)),
+                ds,
+                NamedSharding(self.mesh, P("data", None)),
+                NamedSharding(self.mesh, P("data", None)),
+            ),
+        }
 
     def _program(self, with_heatmaps: bool):
         if with_heatmaps not in self._programs:
             self._programs[with_heatmaps] = self.fused.jit_forward(
-                with_heatmaps=with_heatmaps
+                with_heatmaps=with_heatmaps, **self._jit_kwargs()
             )
         return self._programs[with_heatmaps]
 
     def _serving_program(self):
         if "serving" not in self._programs:
-            self._programs["serving"] = self.fused.jit_forward_serving()
+            self._programs["serving"] = self.fused.jit_forward_serving(
+                **self._jit_kwargs()
+            )
         return self._programs["serving"]
 
     def infer_serving(
@@ -209,6 +246,10 @@ class InferencePipeline:
         cfg = self.config
         n = len(images_rgb)
         b = _pad_batch(n, cfg.serve.max_batch)
+        if self.mesh is not None:
+            dp = self.mesh.shape["data"]
+            b = max(b, dp)
+            b = -(-b // dp) * dp  # round up to a data-shard multiple
         p = cfg.detector.max_persons
         h, w = cfg.detector.input_height, cfg.detector.input_width
 

@@ -286,6 +286,9 @@ def main(argv=None):
     )
     parser.add_argument("--checkpoint-dir", default=None,
                         help="orbax checkpoint dir with det/pose params")
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="shard serving batches over N chips "
+                             "(0 = single device)")
     args = parser.parse_args(argv)
 
     from human_body_proportion_estimation_tpu.models.efficientdet import (
@@ -304,9 +307,17 @@ def main(argv=None):
         det_vars, pose_vars = weights.load_pipeline_checkpoint(
             args.checkpoint_dir
         )
+    mesh = None
+    if args.data_parallel > 1:
+        from human_body_proportion_estimation_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(args.data_parallel)
     pipeline = InferencePipeline(
         det_config=det_cfg, det_vars=det_vars, pose_vars=pose_vars,
         detector=args.detector if args.detector == "ssd_mobilenet" else None,
+        mesh=mesh,
     )
     app = ServingApp(pipeline)
     server = create_server(app, args.host, args.port)
