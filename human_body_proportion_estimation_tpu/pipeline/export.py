@@ -1,0 +1,112 @@
+"""Model repository: serialize/restore the fused pipeline as an artifact.
+
+The reference's deployable unit is a Triton model repository — directories
+of SavedModel/ONNX/TensorRT blobs plus config.pbtxt, built offline by
+`models/conv.py` and loaded by name (README :13-26, :71-80). The
+TPU-native equivalent is one directory holding:
+
+    pipeline.stablehlo   the fused program exported via jax.export
+                         (portable StableHLO, weights passed at call time)
+    meta.json            batch size / shapes / config provenance
+    det/  pose/          orbax checkpoints of the variable collections
+
+A server can restore and run it without the model-building Python code
+(the StableHLO is the compiled-graph artifact; weights stay swappable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from human_body_proportion_estimation_tpu.models import weights as W
+
+
+def export_serving_artifact(
+    pipeline, directory: str, batch_size: int = 16
+) -> str:
+    """Export the packed serving program + weights for `batch_size`."""
+    from jax import export as jexport
+
+    cfg = pipeline.config
+    os.makedirs(directory, exist_ok=True)
+
+    b = batch_size
+    p = cfg.detector.max_persons
+    args = (
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.device_get(pipeline.det_vars),
+        ),
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.device_get(pipeline.pose_vars),
+        ),
+        jax.ShapeDtypeStruct(
+            (b, cfg.detector.input_height, cfg.detector.input_width, 3),
+            jnp.uint8,
+        ),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b, p), jnp.float32),
+        jax.ShapeDtypeStruct((b, 2), jnp.float32),
+    )
+    exported = jexport.export(jax.jit(pipeline.fused.forward_serving))(*args)
+    with open(os.path.join(directory, "pipeline.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+
+    W.save_pipeline_checkpoint(
+        directory,
+        jax.device_get(pipeline.det_vars),
+        jax.device_get(pipeline.pose_vars),
+    )
+    meta = {
+        "batch_size": b,
+        "max_persons": p,
+        "detector_input_hw": [cfg.detector.input_height,
+                              cfg.detector.input_width],
+        "pose_crop_hw": [cfg.pose.crop_height, cfg.pose.crop_width],
+        "packed_layout": "valid | lengths_cm[11] | seg_visible[11]",
+        "config": dataclasses.asdict(cfg),
+    }
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return directory
+
+
+class ServingArtifact:
+    """Restored artifact: callable packed serving program + its weights."""
+
+    def __init__(self, directory: str):
+        from jax import export as jexport
+
+        with open(os.path.join(directory, "pipeline.stablehlo"), "rb") as f:
+            self._exported = jexport.deserialize(f.read())
+        with open(os.path.join(directory, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.det_vars, self.pose_vars = W.load_pipeline_checkpoint(directory)
+
+    @property
+    def batch_size(self) -> int:
+        return self.meta["batch_size"]
+
+    def __call__(
+        self,
+        images: np.ndarray,      # [batch_size, H, W, 3] uint8
+        thresholds: np.ndarray,  # [batch_size]
+        heights: np.ndarray,     # [batch_size, P]
+        orig_hw: np.ndarray,     # [batch_size, 2]
+    ) -> np.ndarray:
+        out = self._exported.call(
+            self.det_vars, self.pose_vars,
+            jnp.asarray(images), jnp.asarray(thresholds, jnp.float32),
+            jnp.asarray(heights, jnp.float32),
+            jnp.asarray(orig_hw, jnp.float32),
+        )
+        return np.asarray(out)
