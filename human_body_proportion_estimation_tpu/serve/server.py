@@ -46,6 +46,9 @@ from human_body_proportion_estimation_tpu.serve.batching import (
 )
 from human_body_proportion_estimation_tpu.serve.http import parse_multipart
 from human_body_proportion_estimation_tpu.utils.config import PipelineConfig
+from human_body_proportion_estimation_tpu.utils.logging import get_logger
+
+log = get_logger("serve")
 
 FAIL_MSG = (
     "Failed to run inference on image. Please use an image with one fully "
@@ -81,8 +84,7 @@ class ServingApp:
                 )
                 self.native = True
             except Exception as e:  # noqa: BLE001 — toolchain missing
-                print(f"native serving core unavailable ({e}); "
-                      "using the Python batcher")
+                log.warning("native_core_unavailable", error=str(e))
         if not self.native:
             self.batcher = DynamicBatcher(
                 self._run_batch,
@@ -170,7 +172,7 @@ class ServingApp:
             )
         except Exception as e:  # noqa: BLE001
             traceback.print_exc()
-            print(e)
+            log.error("webhook_failed", error=str(e))
 
     def shutdown(self):
         self.batcher.shutdown()
@@ -246,12 +248,13 @@ def make_handler(app: ServingApp):
                 response = app.handle_estimation(form)
                 self._send_json(response)
             except queue.Full:
+                log.warning("backpressure_reject")
                 self._send_json(
                     {"code": "failed", "msg": "server overloaded"}, 503
                 )
             except Exception as e:  # noqa: BLE001 — parity: never 500
                 traceback.print_exc()
-                print(e)
+                log.error("request_failed", error=str(e))
                 self._send_json({"msg": FAIL_MSG, "code": "failed"})
 
     return Handler
@@ -330,7 +333,11 @@ def main(argv=None):
         grpc_server, bound = create_grpc_server(app, args.host,
                                                 args.grpc_port)
         grpc_server.start()
+        log.info("grpc_listening", host=args.host, port=bound)
         print(f"grpc on {args.host}:{bound}", flush=True)
+    log.info("http_listening", host=args.host, port=args.port,
+             engine="native" if app.native else "python",
+             detector=args.detector)
     print(f"serving on {args.host}:{args.port}", flush=True)
     try:
         server.serve_forever()

@@ -239,3 +239,48 @@ def test_concurrent_requests_batched(served_app):
     assert all(s == 200 and d["code"] == "success" for s, d in results)
     _, metrics = _get(port, "/metrics")
     assert metrics["mean_batch_size"] > 1.0  # batching actually engaged
+
+
+def test_structured_logger(capsys):
+    import io
+
+    from human_body_proportion_estimation_tpu.utils.logging import JsonLogger
+
+    buf = io.StringIO()
+    log = JsonLogger("t", level="info", stream=buf)
+    log.debug("hidden", x=1)
+    log.info("visible", n=2, s="a")
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["event"] == "visible" and rec["n"] == 2
+    assert rec["level"] == "info" and "ts" in rec
+
+
+def test_server_survives_runner_failure(served_app, monkeypatch):
+    # poison one batch: the response must be the parity failed JSON (no 500)
+    # and the server must keep serving afterwards
+    port, jpg = served_app
+    body, ctype = _multipart_body({"file": (jpg, "p.jpg")})
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+
+    original = InferencePipeline.infer_serving
+    calls = {"n": 0}
+
+    def flaky(self, *args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected failure")
+        return original(self, *args, **kwargs)
+
+    monkeypatch.setattr(InferencePipeline, "infer_serving", flaky)
+    status, data = _post(
+        port, "/body_proportion_length_estimation_file", body, ctype
+    )
+    assert status == 200 and data["code"] == "failed"
+    status, data = _post(
+        port, "/body_proportion_length_estimation_file", body, ctype
+    )
+    assert status == 200 and data["code"] == "success"
