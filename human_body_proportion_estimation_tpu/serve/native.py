@@ -84,7 +84,14 @@ class NativeBatcher:
         max_batch: int = 8,
         batch_timeout_ms: float = 4.0,
         queue_depth: int = 256,
+        pipeline_depth: int = 2,
     ):
+        """`pipeline_depth`: number of batches allowed in flight at once.
+        2 lets batch N+1's host->device upload overlap batch N's compute
+        (the device executes launches in order, so results stay correct);
+        1 reproduces strictly serial execution."""
+        from concurrent.futures import ThreadPoolExecutor
+
         self._lib = load_library()
         self._core = self._lib.hbpe_core_create(
             max_batch, batch_timeout_ms, queue_depth
@@ -95,6 +102,11 @@ class NativeBatcher:
         self._pending_lock = threading.Lock()
         self._next_id = 0
         self._stopping = False
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, pipeline_depth),
+            thread_name_prefix="native-batch-exec",
+        )
+        self._inflight = threading.Semaphore(max(1, pipeline_depth))
         self._thread = threading.Thread(
             target=self._loop, name="native-batcher", daemon=True
         )
@@ -129,9 +141,38 @@ class NativeBatcher:
         self._stopping = True
         self._lib.hbpe_core_shutdown(self._core)
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
         self._lib.hbpe_core_destroy(self._core)
 
     # ------------------------------------------------------------------ #
+
+    def _execute(self, batch_ids: List[int], items: List[tuple]):
+        try:
+            payloads = [it[0] for it in items]
+            results = None
+            error = None
+            try:
+                results = self._runner(payloads)
+            except Exception as e:  # noqa: BLE001
+                error = e
+            # record metrics BEFORE waking waiters so a caller reading
+            # /metrics right after result() sees its own completion
+            done = time.perf_counter()
+            n = len(items)
+            ids = (ctypes.c_uint64 * n)(*batch_ids)
+            lats = (ctypes.c_double * n)(
+                *[(done - it[2]) * 1e3 for it in items]
+            )
+            self._lib.hbpe_core_complete(self._core, ids, n, lats)
+            if error is not None:
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(error)
+            else:
+                for (_, fut, _), r in zip(items, results):
+                    fut.set_result(r)
+        finally:
+            self._inflight.release()
 
     def _loop(self):
         ids = (ctypes.c_uint64 * self._max_batch)()
@@ -144,17 +185,11 @@ class NativeBatcher:
             batch_ids = [int(ids[i]) for i in range(n)]
             with self._pending_lock:
                 items = [self._pending.pop(i) for i in batch_ids]
-            payloads = [it[0] for it in items]
-            try:
-                results = self._runner(payloads)
-                for (_, fut, _), r in zip(items, results):
-                    fut.set_result(r)
-            except Exception as e:  # noqa: BLE001
+            self._inflight.acquire()
+            if self._stopping:
+                self._inflight.release()
                 for _, fut, _ in items:
                     if not fut.done():
-                        fut.set_exception(e)
-            done = time.perf_counter()
-            lats = (ctypes.c_double * n)(
-                *[(done - it[2]) * 1e3 for it in items]
-            )
-            self._lib.hbpe_core_complete(self._core, ids, n, lats)
+                        fut.set_exception(RuntimeError("shutting down"))
+                break
+            self._pool.submit(self._execute, batch_ids, items)
