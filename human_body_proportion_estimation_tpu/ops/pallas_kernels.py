@@ -81,3 +81,101 @@ def decode_heatmaps_pallas(
         interpret=interpret,
     )(heatmaps.astype(jnp.float32))
     return kp, scores[..., 0]
+
+
+def _nms_sweep_kernel(thres_ref, boxes_ref, scores_ref, keep_ref,
+                      overlap_ref):
+    # refs carry a leading grid-block dim of 1: [1, K, 4] / [1, K, 1]
+    """Greedy NMS keep-mask sweep for one image, entirely in VMEM.
+
+    boxes [K, 4] xyxy sorted by descending score; scores [K, 1]; the IoU
+    threshold arrives as an SMEM scalar. The K x K overlap matrix is
+    computed once on the VPU; a fori_loop then walks rows carrying the
+    running keep vector as a lane-aligned [1, K] boolean — each step is a
+    whole-vector select, so the sweep never touches HBM (the XLA fori_loop
+    formulation round-trips the mask through HBM every step).
+    """
+    k = boxes_ref.shape[1]
+    t = thres_ref[0]
+    b = boxes_ref[0]                       # [K, 4]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+    union = area[:, None] + area[None, :] - inter
+    # iou > t  <=>  inter > t * union (union >= 0). IoU is symmetric, so
+    # row i already equals "which boxes overlap box i" — no transpose
+    # (Mosaic can't legalize one here anyway). Staged in VMEM scratch
+    # because Mosaic only supports dynamic row reads through a ref.
+    overlap_ref[:] = (inter > t * union).astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    # keep is carried as f32 0/1: Mosaic cannot carry i1 vectors through
+    # fori_loop (i8->i1 truncation is unsupported)
+    keep0 = (scores_ref[0] > 0.0).reshape(1, k).astype(jnp.float32)
+
+    def body(i, keep):
+        row = overlap_ref[i, :].reshape(1, k)
+        earlier = (lane < i).astype(jnp.float32)
+        suppressed = jnp.max(keep * earlier * row)  # 1.0 if any kept earlier overlaps
+        new_val = keep * (1.0 - suppressed)
+        return jnp.where(lane == i, new_val, keep)
+
+    keep = jax.lax.fori_loop(0, k, body, keep0)
+    keep_ref[0] = keep.reshape(k, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nms_sweep_pallas_batched(
+    boxes: jax.Array,      # [B, K, 4]
+    scores: jax.Array,     # [B, K]
+    iou_threshold: jax.Array | float = 0.5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched Pallas greedy-NMS keep masks; grid over the batch so all
+    images run in one kernel launch.
+
+    Measured on v5e: 1.68 ms vs 1.54 ms for the vmapped XLA `nms_mask` at
+    [16, 128] — the sweep is dominated by its 128 inherently-sequential
+    steps, which neither backend can parallelize, so the XLA formulation
+    remains the production path in `ops/nms.py`. This kernel is kept as a
+    parity-tested alternative (and the pattern for future per-image VMEM-
+    resident postprocess fusion)."""
+    bsz, k = boxes.shape[0], boxes.shape[1]
+    keep = pl.pallas_call(
+        _nms_sweep_kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, k, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, k), jnp.float32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([iou_threshold], jnp.float32),
+        boxes.astype(jnp.float32),
+        scores[..., None].astype(jnp.float32),
+    )
+    return keep[..., 0] > 0.5
+
+
+def nms_sweep_pallas(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: jax.Array | float = 0.5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-image wrapper over the batched kernel (drop-in for
+    `ops.nms.nms_mask`; parity tested)."""
+    return nms_sweep_pallas_batched(
+        boxes[None], scores[None], iou_threshold, interpret=interpret
+    )[0]
