@@ -38,10 +38,27 @@ class NmsResult(NamedTuple):
     valid: jax.Array    # [max_det] bool
 
 
+def box_iou_plus1(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU with the legacy +1 pixel convention of the reference's
+    second NMS variant (`w_bbox_iou`, modules/onnx_utils.py:8-36): widths/
+    heights counted as x2-x1+1."""
+    wa = jnp.maximum(a[:, 2] - a[:, 0] + 1.0, 0.0)
+    ha = jnp.maximum(a[:, 3] - a[:, 1] + 1.0, 0.0)
+    wb = jnp.maximum(b[:, 2] - b[:, 0] + 1.0, 0.0)
+    hb = jnp.maximum(b[:, 3] - b[:, 1] + 1.0, 0.0)
+    area_a = wa * ha
+    area_b = wb * hb
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = jnp.prod(jnp.maximum(rb - lt + 1.0, 0.0), axis=-1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-16)
+
+
 def nms_mask(
     boxes: jax.Array,
     scores: jax.Array,
     iou_threshold: float,
+    legacy_plus1_iou: bool = False,
 ) -> jax.Array:
     """Greedy NMS keep-mask over [K,4] xyxy boxes sorted by descending score.
 
@@ -49,7 +66,8 @@ def nms_mask(
     already be descending. Returns a bool [K] keep mask.
     """
     k = boxes.shape[0]
-    overlapping = box_iou(boxes, boxes) > iou_threshold
+    iou_fn = box_iou_plus1 if legacy_plus1_iou else box_iou
+    overlapping = iou_fn(boxes, boxes) > iou_threshold
 
     def body(i, keep):
         # Box i is suppressed iff any kept earlier (higher-score) box
@@ -156,4 +174,48 @@ def yolo_nms(
         top_k,
         classes=best_cls.astype(boxes.dtype),
         class_agnostic=agnostic,
+    )
+
+
+def yolo_nms_legacy(
+    prediction: jax.Array,
+    num_classes: int,
+    conf_thres: float = 0.5,
+    nms_thres: float = 0.4,
+    max_det: int = 300,
+    top_k: int = 512,
+) -> NmsResult:
+    """The reference's second YOLO postprocess (`w_non_max_suppression`,
+    modules/onnx_utils.py:39-95): xywh -> xyxy, obj-conf filter, best
+    class, per-class greedy NMS with the +1 IoU convention. Expressed
+    fixed-shape with the class-offset trick (equivalent to the per-class
+    loop because offset boxes of different classes never overlap).
+    """
+    boxes = xywh2xyxy(prediction[:, :4])
+    obj = prediction[:, 4]
+    cls_conf = prediction[:, 5:5 + num_classes]
+    best_cls = jnp.argmax(cls_conf, axis=-1).astype(boxes.dtype)
+    valid = obj >= conf_thres
+    scores = jnp.where(valid, obj, 0.0)  # w-NMS sorts by obj conf (:76-78)
+
+    k = min(top_k, boxes.shape[0])
+    top_scores, order = jax.lax.top_k(scores, k)
+    top_boxes = boxes[order]
+    top_cls = best_cls[order]
+    offset_boxes = top_boxes + top_cls[:, None] * MAX_WH
+    keep = nms_mask(offset_boxes, top_scores, nms_thres,
+                    legacy_plus1_iou=True)
+
+    rank = jnp.arange(k)
+    perm = jnp.argsort(jnp.where(keep, rank, rank + k))[:max_det]
+    out_valid = keep[perm]
+    pad = max(0, max_det - k)
+    if pad:
+        perm = jnp.pad(perm, (0, pad))
+        out_valid = jnp.pad(out_valid, (0, pad), constant_values=False)
+    return NmsResult(
+        jnp.where(out_valid[:, None], top_boxes[perm], 0.0),
+        jnp.where(out_valid, top_scores[perm], 0.0),
+        jnp.where(out_valid, top_cls[perm], 0.0),
+        out_valid,
     )

@@ -106,3 +106,53 @@ def test_yolo_nms_person_filter(rng):
     v = np.asarray(res.valid)
     assert int(v.sum()) == 3
     assert np.all(np.asarray(res.classes)[v] == 0)
+
+
+def legacy_wnms_oracle(pred, num_classes, conf_thres, nms_thres):
+    """Numpy port of the reference w_non_max_suppression semantics
+    (per-class greedy NMS, +1 IoU, sorted by obj conf)."""
+    boxes = np.stack([
+        pred[:, 0] - pred[:, 2] / 2, pred[:, 1] - pred[:, 3] / 2,
+        pred[:, 0] + pred[:, 2] / 2, pred[:, 1] + pred[:, 3] / 2,
+    ], -1)
+    obj = pred[:, 4]
+    cls = np.argmax(pred[:, 5:5 + num_classes], -1)
+    keep_rows = []
+    for c in np.unique(cls[obj >= conf_thres]):
+        rows = np.where((cls == c) & (obj >= conf_thres))[0]
+        rows = rows[np.argsort(-obj[rows], kind="stable")]
+        alive = list(rows)
+        while alive:
+            best = alive.pop(0)
+            keep_rows.append(best)
+            survivors = []
+            for r in alive:
+                b1, b2 = boxes[best], boxes[r]
+                iw = max(min(b1[2], b2[2]) - max(b1[0], b2[0]) + 1, 0)
+                ih = max(min(b1[3], b2[3]) - max(b1[1], b2[1]) + 1, 0)
+                inter = iw * ih
+                a1 = (b1[2] - b1[0] + 1) * (b1[3] - b1[1] + 1)
+                a2 = (b2[2] - b2[0] + 1) * (b2[3] - b2[1] + 1)
+                if inter / (a1 + a2 - inter + 1e-16) < nms_thres:
+                    survivors.append(r)
+            alive = survivors
+    return set(keep_rows)
+
+
+def test_yolo_nms_legacy_matches_reference_semantics(rng):
+    from human_body_proportion_estimation_tpu.ops.nms import yolo_nms_legacy
+
+    n, nc = 60, 4
+    pred = np.zeros((n, 5 + nc), np.float32)
+    pred[:, 0:2] = rng.uniform(50, 250, (n, 2))
+    pred[:, 2:4] = rng.uniform(20, 120, (n, 2))
+    pred[:, 4] = rng.uniform(0, 1, n)
+    pred[np.arange(n), 5 + rng.integers(0, nc, n)] = 1.0
+
+    expect_rows = legacy_wnms_oracle(pred, nc, 0.5, 0.4)
+    res = yolo_nms_legacy(jnp.asarray(pred), nc, 0.5, 0.4, top_k=64)
+    got_scores = np.asarray(res.scores)[np.asarray(res.valid)]
+    expect_scores = np.sort(pred[list(expect_rows), 4])[::-1]
+    np.testing.assert_allclose(
+        np.sort(got_scores)[::-1], expect_scores, rtol=1e-6
+    )
