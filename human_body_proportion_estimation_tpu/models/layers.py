@@ -10,7 +10,7 @@ TPU conventions used throughout the model zoo:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

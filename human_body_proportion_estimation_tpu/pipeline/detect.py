@@ -12,7 +12,6 @@ Mirrors the reference's standalone detector demos:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Tuple
 
 import jax

@@ -19,8 +19,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Tuple
-
 import numpy as np
 
 import jax

@@ -35,10 +35,7 @@ from human_body_proportion_estimation_tpu.models.efficientdet import (
     EfficientDet,
     EfficientDetConfig,
 )
-from human_body_proportion_estimation_tpu.models.hrnet import (
-    HRNet,
-    create_hrnet,
-)
+from human_body_proportion_estimation_tpu.models.hrnet import create_hrnet
 from human_body_proportion_estimation_tpu.ops import proportions as prop_ops
 from human_body_proportion_estimation_tpu.pipeline.full import (
     FusedPipeline,

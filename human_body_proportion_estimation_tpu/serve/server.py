@@ -28,7 +28,6 @@ from __future__ import annotations
 import argparse
 import json
 import queue
-import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List
@@ -38,7 +37,6 @@ import numpy as np
 from human_body_proportion_estimation_tpu.pipeline.host import (
     InferencePipeline,
     decode_image_bytes,
-    format_image_result,
 )
 from human_body_proportion_estimation_tpu.serve.batching import (
     DynamicBatcher,
