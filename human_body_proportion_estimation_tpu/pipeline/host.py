@@ -237,6 +237,10 @@ class InferencePipeline:
             jnp.asarray(heights),
             jnp.asarray(orig_hw),
         )
+        # one bulk device->host fetch per leaf: downstream formatting slices
+        # per image/slot, and under the remote-TPU link every lazy slice
+        # fetch would be a full round trip
+        out = jax.device_get(out)
         return jax.tree.map(lambda x: x[:n] if x is not None else None, out)
 
     def _prepare(self, images_rgb, person_heights, det_threshold):
