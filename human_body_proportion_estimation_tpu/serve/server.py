@@ -207,10 +207,17 @@ def make_handler(app: ServingApp):
             elif self.path == "/health":
                 import jax
 
-                self._send_json({
+                payload = {
                     "status": "ok",
                     "devices": [str(d) for d in jax.devices()],
-                })
+                }
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    payload["hbm_bytes_in_use"] = stats.get("bytes_in_use")
+                    payload["hbm_bytes_limit"] = stats.get("bytes_limit")
+                except Exception:  # noqa: BLE001 — not all backends expose it
+                    pass
+                self._send_json(payload)
             elif self.path == "/metrics":
                 self._send_json(app.metrics_snapshot())
             elif self.path == "/docs":
