@@ -212,7 +212,11 @@ def test_estimation_missing_file_fails_cleanly(served_app):
 
 
 def test_metrics_and_health(served_app):
-    port, _ = served_app
+    port, jpg = served_app
+    # issue one request so counters are non-zero regardless of test order
+    body, ctype = _multipart_body({"file": (jpg, "p.jpg")})
+    _post(port, "/body_proportion_length_estimation_file", body, ctype)
+
     status, health = _get(port, "/health")
     assert status == 200 and health["status"] == "ok"
     status, metrics = _get(port, "/metrics")
