@@ -40,6 +40,42 @@ def decode_heatmaps(heatmaps: jax.Array) -> DecodedKeypoints:
     return DecodedKeypoints(kpts, scores)
 
 
+def refine_subpixel(
+    keypoints: jax.Array, heatmaps: jax.Array, delta: float = 0.25
+) -> jax.Array:
+    """Quarter-pixel refinement: shift each argmax keypoint by +-delta
+    toward its higher-valued neighbor along each axis (the standard HRNet
+    post-process). OPT-IN: the reference decodes with plain argmax
+    (`pose_estimator.py:75-99`), so the pipeline defaults to exact parity
+    and exposes this for accuracy-minded deployments.
+
+    Args:
+        keypoints: [..., K, 2] (x, y) integer argmax coords.
+        heatmaps: [..., K, H, W].
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    x = keypoints[..., 0].astype(jnp.int32)
+    y = keypoints[..., 1].astype(jnp.int32)
+
+    def at(dy, dx):
+        yy = jnp.clip(y + dy, 0, h - 1)
+        xx = jnp.clip(x + dx, 0, w - 1)
+        return jnp.take_along_axis(
+            heatmaps.reshape(*heatmaps.shape[:-2], h * w),
+            (yy * w + xx)[..., None],
+            axis=-1,
+        )[..., 0]
+
+    dx_sign = jnp.sign(at(0, 1) - at(0, -1))
+    dy_sign = jnp.sign(at(1, 0) - at(-1, 0))
+    refined = keypoints + delta * jnp.stack([dx_sign, dy_sign], axis=-1)
+    # only refine interior maxima (edge behavior matches common impls)
+    interior = (
+        (x > 0) & (x < w - 1) & (y > 0) & (y < h - 1)
+    )[..., None]
+    return jnp.where(interior, refined, keypoints)
+
+
 def remap_to_image(
     keypoints_hm: jax.Array,
     boxes_yxyx_px: jax.Array,

@@ -167,6 +167,8 @@ class FusedPipeline:
             kp_scores = sc_flat.reshape(b, p, cfg.pose.num_keypoints)
         else:
             kp_hm, kp_scores = hm_ops.decode_heatmaps(heatmaps)
+        if cfg.pose.subpixel_refine:
+            kp_hm = hm_ops.refine_subpixel(kp_hm, heatmaps)
         kp_visible = hm_ops.gate_keypoints(
             kp_scores, cfg.pose.keypoint_thresholds
         )

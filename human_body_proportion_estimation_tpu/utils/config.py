@@ -60,6 +60,9 @@ class PoseConfig:
         0.45, 0.46, 0.45, 0.40, 0.34, 0.10, 0.10, 0.10, 0.10,
         0.24, 0.30, 0.11, 0.10, 0.15, 0.10, 0.25, 0.20,
     )
+    # quarter-pixel argmax refinement (standard HRNet post-process); OFF by
+    # default for exact reference parity (the reference uses plain argmax)
+    subpixel_refine: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,3 +58,26 @@ def test_gate_keypoints():
     vis = np.asarray(H.gate_keypoints(jnp.asarray(scores), tuple(thres)))
     expect = scores >= np.asarray(thres)
     np.testing.assert_array_equal(vis, expect)
+
+
+def test_subpixel_refinement_shifts_toward_mass():
+    hm = np.zeros((1, 17, 16, 16), np.float32)
+    # peak at (8, 8) with a heavier right neighbor -> +0.25 in x;
+    # heavier top neighbor -> -0.25 in y
+    hm[0, :, 8, 8] = 1.0
+    hm[0, :, 8, 9] = 0.6
+    hm[0, :, 8, 7] = 0.2
+    hm[0, :, 7, 8] = 0.5
+    hm[0, :, 9, 8] = 0.1
+    kp, sc = H.decode_heatmaps(jnp.asarray(hm))
+    refined = np.asarray(H.refine_subpixel(kp, jnp.asarray(hm)))
+    np.testing.assert_allclose(refined[0, :, 0], 8.25)
+    np.testing.assert_allclose(refined[0, :, 1], 7.75)
+
+
+def test_subpixel_edge_peaks_untouched():
+    hm = np.zeros((1, 17, 16, 16), np.float32)
+    hm[0, :, 0, 15] = 1.0  # corner peak
+    kp, _ = H.decode_heatmaps(jnp.asarray(hm))
+    refined = np.asarray(H.refine_subpixel(kp, jnp.asarray(hm)))
+    np.testing.assert_array_equal(refined, np.asarray(kp))
