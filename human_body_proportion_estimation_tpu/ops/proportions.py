@@ -21,6 +21,13 @@ Known reference bug NOT replicated: when shoulders or hips are gated out,
 `_get_kp_dict` references an unbound ``chest``/``crotch`` local and raises
 NameError, failing the whole request (`modules/pose_estimator.py:146-166`).
 Here those segments simply report not-visible.
+
+Known deliberate divergence (sub-pixel): the reference truncates the
+chest/crotch midpoints to integer pixels — ``int(rx + lx) // 2`` per
+coordinate (`modules/pose_estimator.py:146-153`) — before measuring the
+torso. The default here keeps exact float 0.5/0.5 midpoints (≤0.5 px, i.e.
+sub-millimetre at typical scales, and strictly more accurate). Pass
+``int_midpoints=True`` to `segment_lengths` for bit-level reference parity.
 """
 
 from __future__ import annotations
@@ -96,6 +103,7 @@ def segment_lengths(
     keypoints: jax.Array,
     visible: jax.Array,
     pixel_to_cm: jax.Array,
+    int_midpoints: bool = False,
 ) -> SegmentLengths:
     """Compute the 11 body-segment lengths in cm with visibility masks.
 
@@ -104,6 +112,11 @@ def segment_lengths(
         visible: [..., 17] bool keypoint visibility (threshold-gated).
         pixel_to_cm: [...] scale = person_height_cm / bbox_pixel_height
             (reference `person_det_pose_edet4_trtserver.py:166-168`).
+        int_midpoints: exact reference parity for the torso endpoints —
+            chest/crotch midpoints truncated to integer pixels,
+            ``int(r + l) // 2`` (`modules/pose_estimator.py:146-153`);
+            for non-negative coords that equals ``floor((r + l) / 2)``.
+            Default False keeps exact float midpoints (see module docstring).
 
     Returns:
         lengths_cm [..., 11] and visible [..., 11]; a segment is visible iff
@@ -118,6 +131,12 @@ def segment_lengths(
     kp = keypoints.astype(jnp.float32)
     e1 = jnp.einsum("sk,...kc->...sc", p1m, kp)
     e2 = jnp.einsum("sk,...kc->...sc", p2m, kp)
+    if int_midpoints:
+        torso = SEGMENT_NAMES.index("torso")
+        crotch = jnp.floor((kp[..., 11, :] + kp[..., 12, :]) / 2.0)
+        chest = jnp.floor((kp[..., 5, :] + kp[..., 6, :]) / 2.0)
+        e1 = e1.at[..., torso, :].set(crotch)
+        e2 = e2.at[..., torso, :].set(chest)
     dist_px = jnp.linalg.norm(e1 - e2, axis=-1)  # [..., 11]
 
     seg_visible = jnp.all(

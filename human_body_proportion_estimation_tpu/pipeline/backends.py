@@ -24,6 +24,11 @@ from human_body_proportion_estimation_tpu.models.ssd_mobilenet import (
     SSDMobileNetV1,
     ssd_postprocess,
 )
+from human_body_proportion_estimation_tpu.ops import (
+    boxes as box_ops,
+    image as img_ops,
+    nms as nms_ops,
+)
 from human_body_proportion_estimation_tpu.pipeline.full import select_persons
 from human_body_proportion_estimation_tpu.utils.config import PipelineConfig
 
@@ -59,6 +64,69 @@ class EfficientDetBackend:
         return select_persons(
             boxes, scores, classes, valid, det_threshold,
             cfg.detector.person_class_id, cfg.detector.max_persons,
+        )
+
+
+class YoloBackend:
+    """YOLOv5 slot inside the fused pipeline.
+
+    The reference can host yolov5m behind the same Triton gRPC server
+    (`obj_det_yolov5_trtserver.py:53`) but only as a detection demo; here
+    the whole chain — letterbox 640 gray-128 (`:30-37`) -> /255 -> forward
+    -> anchor decode -> official NMS conf .4 / IoU .5 (`:40-44`) ->
+    scale_coords un-letterbox (`:153-154`) — runs inside the same jit
+    program that feeds the pose stage, so YOLO is a first-class serving
+    detector, not just a CLI.
+    """
+
+    PERSON_CLASS = 0     # 0-based COCO "person" (reference COCO names :17-27)
+    CONF_THRES = 0.4     # reference obj_det_yolov5_trtserver.py:40-44
+    IOU_THRES = 0.5
+
+    def __init__(self, config: PipelineConfig, variant: str = "yolov5m",
+                 input_size: int = 640):
+        from human_body_proportion_estimation_tpu.models.yolov5 import (
+            YOLOV5L,
+            YOLOV5M,
+            YOLOV5S,
+            YoloV5,
+        )
+
+        variants = {
+            "yolov5s": YOLOV5S, "yolov5m": YOLOV5M, "yolov5l": YOLOV5L,
+        }
+        self.model = YoloV5(config=variants[variant])
+        self.config = config
+        self.input_size = input_size  # 640, reference :30-37
+
+    def init_vars(self, rng) -> Any:
+        s = self.input_size
+        return self.model.init(rng, jnp.zeros((1, s, s, 3), jnp.float32))
+
+    def __call__(self, det_vars, image_f32, det_threshold):
+        from human_body_proportion_estimation_tpu.models.yolov5 import (
+            decode_predictions,
+        )
+
+        cfg = self.config
+        s = self.input_size
+        boxed = img_ops.letterbox(image_f32, s, s)
+        heads = self.model.apply(det_vars, boxed[None] / 255.0)
+        preds = decode_predictions(heads, self.model.config.num_classes)[0]
+        res = nms_ops.yolo_nms(
+            preds,
+            conf_thres=self.CONF_THRES,
+            iou_thres=self.IOU_THRES,
+            max_det=cfg.detector.max_detections,
+            top_k=cfg.detector.nms_top_k,
+            class_filter=self.PERSON_CLASS,
+        )
+        ih, iw = cfg.detector.input_height, cfg.detector.input_width
+        xyxy = box_ops.scale_coords_letterbox(res.boxes, (s, s), (ih, iw))
+        yxyx = xyxy[..., jnp.asarray([1, 0, 3, 2])]
+        return select_persons(
+            yxyx, res.scores, res.classes, res.valid, det_threshold,
+            self.PERSON_CLASS, cfg.detector.max_persons,
         )
 
 

@@ -98,10 +98,16 @@ class FusedPipeline:
         config: PipelineConfig,
         detector_backend,
         pose: HRNet,
+        sharded: bool = False,
     ):
+        """`sharded`: set when the program will be jitted with the batch
+        sharded over a mesh axis — pallas_call has no SPMD partitioning
+        rule, so the Pallas decode is disabled in favor of the XLA decode
+        (which partitions cleanly over the batch dim)."""
         self.config = config
         self.detector_backend = detector_backend
         self.pose = pose
+        self.sharded = sharded
 
     def forward(
         self,
@@ -154,8 +160,9 @@ class FusedPipeline:
         )
 
         # -- decode + gate (pose_estimator.py:75-99, driver :162-163);
-        #    the Pallas kernel fuses the per-slot argmax on TPU --
-        if jax.devices()[0].platform == "tpu":
+        #    the Pallas kernel fuses the per-slot argmax on TPU; under a
+        #    sharded jit the XLA decode is used instead (see __init__) --
+        if jax.devices()[0].platform == "tpu" and not self.sharded:
             from human_body_proportion_estimation_tpu.ops.pallas_kernels import (
                 decode_heatmaps_pallas,
             )

@@ -97,6 +97,7 @@ class InferencePipeline:
         pose_vars: Any | None = None,
         detector: str | None = None,
         mesh=None,
+        backend=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
         fused program is then jitted with the image batch sharded over
@@ -106,17 +107,49 @@ class InferencePipeline:
         from human_body_proportion_estimation_tpu.pipeline.backends import (
             EfficientDetBackend,
             SSDBackend,
+            YoloBackend,
         )
 
         self.config = config or PipelineConfig()
         cfg = self.config
         detector = detector or cfg.detector.name
-        if detector == "ssd_mobilenet":
+        if backend is not None:
+            # pre-built detector slot (tests, custom configurations)
+            self.backend = backend
+            det_weights_real = (
+                isinstance(backend, SSDBackend) or det_vars is not None
+            )
+        elif detector == "ssd_mobilenet":
             # the slot with REAL weights (reference's checked-in ssd.tflite)
             self.backend = SSDBackend(cfg)
+            det_weights_real = True
+        elif detector.startswith("yolov5"):
+            self.backend = YoloBackend(cfg, variant=detector)
+            det_weights_real = det_vars is not None
         else:
             self.backend = EfficientDetBackend(
                 EfficientDet(config=det_config), cfg
+            )
+            det_weights_real = det_vars is not None
+        # the reference always serves pretrained weights (README.md:13-26
+        # download step is mandatory); a slot running random init must be
+        # loud about it — confident-looking cm values from random weights
+        # are a false parity (/health reports this per model)
+        self.weights_origin = {
+            "detector": "real" if det_weights_real else "random",
+            "pose": "real" if pose_vars is not None else "random",
+        }
+        if "random" in self.weights_origin.values():
+            from human_body_proportion_estimation_tpu.utils.logging import (
+                get_logger,
+            )
+
+            get_logger("pipeline").warning(
+                "random_weights",
+                msg="RANDOM-INIT WEIGHTS IN USE — outputs are garbage; "
+                    "pass det_vars/pose_vars (weights.load_pipeline_"
+                    "checkpoint) or detector='ssd_mobilenet'",
+                **self.weights_origin,
             )
         if cfg.pose.name == "higherhrnet":
             from human_body_proportion_estimation_tpu.models.higherhrnet import (
@@ -126,7 +159,9 @@ class InferencePipeline:
             self.pose = HigherHRNetHeatmaps()
         else:
             self.pose = create_hrnet(cfg.pose.name)
-        self.fused = FusedPipeline(cfg, self.backend, self.pose)
+        self.fused = FusedPipeline(
+            cfg, self.backend, self.pose, sharded=mesh is not None
+        )
 
         if det_vars is None or pose_vars is None:
             # random init on host CPU (fast trace), then device-put once;

@@ -101,6 +101,9 @@ class NativeBatcher:
         self._pending: Dict[int, tuple] = {}
         self._pending_lock = threading.Lock()
         self._next_id = 0
+        # runner exceptions (actual failed requests) — the core's "rejected"
+        # counter only tracks back-pressure, so /metrics needs this separately
+        self._failures = 0
         self._stopping = False
         self._pool = ThreadPoolExecutor(
             max_workers=max(1, pipeline_depth),
@@ -135,7 +138,9 @@ class NativeBatcher:
     def metrics_json(self) -> dict:
         buf = ctypes.create_string_buffer(4096)
         n = self._lib.hbpe_core_metrics_json(self._core, buf, 4096)
-        return json.loads(buf.value.decode()) if n > 0 else {}
+        m = json.loads(buf.value.decode()) if n > 0 else {}
+        m["failed"] = self._failures
+        return m
 
     def shutdown(self):
         self._stopping = True
@@ -153,8 +158,17 @@ class NativeBatcher:
             error = None
             try:
                 results = self._runner(payloads)
+                if len(results) != len(items):
+                    # a short batch would silently truncate the zip below and
+                    # leave the tail futures unresolved forever (callers hang
+                    # on infer() with the default timeout=None)
+                    raise RuntimeError(
+                        f"runner returned {len(results)} results for "
+                        f"{len(items)} payloads"
+                    )
             except Exception as e:  # noqa: BLE001
                 error = e
+                self._failures += len(items)
             # record metrics BEFORE waking waiters so a caller reading
             # /metrics right after result() sees its own completion
             done = time.perf_counter()

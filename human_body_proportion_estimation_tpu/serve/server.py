@@ -97,7 +97,9 @@ class ServingApp:
             m = self.batcher.metrics_json()
             # unified key set across engines
             m["requests_total"] = m.get("completed", 0)
-            m["failures_total"] = m.get("rejected", 0)
+            # runner exceptions, matching the Python engine's semantics;
+            # back-pressure rejections stay separate under "rejected"
+            m["failures_total"] = m.get("failed", 0)
             m["batches_total"] = m.get("batches", 0)
             return {"engine": "native", **m}
         return {"engine": "python", **self.metrics.snapshot()}
@@ -210,6 +212,12 @@ def make_handler(app: ServingApp):
                 payload = {
                     "status": "ok",
                     "devices": [str(d) for d in jax.devices()],
+                    # real|random per model slot — random-init slots serve
+                    # garbage and must be visible (the reference always
+                    # serves pretrained weights, README.md:13-26)
+                    "weights": getattr(
+                        app.pipeline, "weights_origin", {}
+                    ),
                 }
                 try:
                     stats = jax.local_devices()[0].memory_stats() or {}
@@ -286,11 +294,12 @@ def main(argv=None):
                         help="gRPC endpoint port (0 disables); the "
                              "reference exposes Triton gRPC on 8081")
     parser.add_argument(
-        "--detector", default="efficientdet_lite4",
+        "--detector", default="ssd_mobilenet",
         choices=["efficientdet_lite4", "efficientdet_lite0",
-                 "ssd_mobilenet"],
-        help="ssd_mobilenet uses REAL weights from the reference's "
-             "checked-in ssd.tflite",
+                 "ssd_mobilenet", "yolov5s", "yolov5m"],
+        help="default ssd_mobilenet — the slot with REAL weights from the "
+             "reference's checked-in ssd.tflite; efficientdet/yolov5 need "
+             "--checkpoint-dir to serve non-random weights",
     )
     parser.add_argument("--checkpoint-dir", default=None,
                         help="orbax checkpoint dir with det/pose params")
@@ -324,9 +333,18 @@ def main(argv=None):
         mesh = make_mesh(args.data_parallel)
     pipeline = InferencePipeline(
         det_config=det_cfg, det_vars=det_vars, pose_vars=pose_vars,
-        detector=args.detector if args.detector == "ssd_mobilenet" else None,
+        detector=args.detector,
         mesh=mesh,
     )
+    if "random" in pipeline.weights_origin.values():
+        print(
+            "WARNING: serving RANDOM-INIT weights for "
+            + ", ".join(k for k, v in pipeline.weights_origin.items()
+                        if v == "random")
+            + " — outputs are garbage; pass --checkpoint-dir or use "
+              "--detector ssd_mobilenet (see /health 'weights')",
+            flush=True,
+        )
     app = ServingApp(pipeline)
     server = create_server(app, args.host, args.port)
     grpc_server = None

@@ -73,6 +73,27 @@ def test_runner_exception_propagates():
     fut = b.submit("x")
     with pytest.raises(ValueError, match="native boom"):
         fut.result(10)
+    # runner exceptions count as request failures, distinct from
+    # back-pressure rejections
+    m = b.metrics_json()
+    assert m["failed"] == 1
+    assert m.get("rejected", 0) == 0
+    b.shutdown()
+
+
+def test_short_runner_result_fails_batch_not_hangs():
+    """A runner returning fewer results than payloads must error every
+    future in the batch (not leave the tail waiting forever)."""
+    from human_body_proportion_estimation_tpu.serve.native import (
+        NativeBatcher,
+    )
+
+    b = NativeBatcher(lambda ps: ps[:-1], max_batch=4, batch_timeout_ms=20)
+    futs = [b.submit(i) for i in range(4)]
+    for f in futs:
+        with pytest.raises(RuntimeError, match="results for"):
+            f.result(10)
+    assert b.metrics_json()["failed"] == 4
     b.shutdown()
 
 

@@ -88,6 +88,33 @@ def test_coincident_points_not_visible():
     assert all(v == P.NOT_VISIBLE for v in d.values())
 
 
+def test_int_midpoints_exact_reference_parity(rng):
+    """int_midpoints=True reproduces the reference's truncated chest/crotch
+    (pose_estimator.py:146-153: int(r + l) // 2 per coordinate)."""
+    kp = rng.uniform(0, 400, (17, 2)).astype(np.float32)
+    res = P.segment_lengths(
+        jnp.asarray(kp), jnp.ones(17, bool), jnp.float32(0.5),
+        int_midpoints=True,
+    )
+    got = P.to_dist_dict(np.asarray(res.lengths_cm), np.asarray(res.visible))
+    chest = np.array([int(kp[5, c] + kp[6, c]) // 2 for c in range(2)],
+                     np.float64)
+    crotch = np.array([int(kp[11, c] + kp[12, c]) // 2 for c in range(2)],
+                      np.float64)
+    expect = float(np.linalg.norm(crotch - chest)) * 0.5
+    np.testing.assert_allclose(got["torso"], expect, rtol=1e-5, atol=1e-4)
+    # non-torso segments are untouched by the flag
+    res_f = P.segment_lengths(
+        jnp.asarray(kp), jnp.ones(17, bool), jnp.float32(0.5)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.lengths_cm)[:1], np.asarray(res_f.lengths_cm)[:1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.lengths_cm)[2:], np.asarray(res_f.lengths_cm)[2:]
+    )
+
+
 def test_vectorized_over_person_slots(rng):
     kp = rng.uniform(0, 400, (4, 3, 17, 2)).astype(np.float32)
     vis = np.ones((4, 3, 17), bool)

@@ -38,6 +38,13 @@ def ssd_pipeline():
     return InferencePipeline(config=cfg)
 
 
+def test_ssd_weights_flagged_real(ssd_pipeline):
+    # guardrail bookkeeping: the tflite-imported detector is real, the
+    # random-init pose slot is not
+    assert ssd_pipeline.weights_origin["detector"] == "real"
+    assert ssd_pipeline.weights_origin["pose"] == "random"
+
+
 def test_two_people_detected_end_to_end(ssd_pipeline):
     import cv2
 

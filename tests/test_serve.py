@@ -219,6 +219,9 @@ def test_metrics_and_health(served_app):
 
     status, health = _get(port, "/health")
     assert status == 200 and health["status"] == "ok"
+    # random-weight guardrail: the tiny test pipeline has no real weights,
+    # and /health must say so per model slot
+    assert health["weights"] == {"detector": "random", "pose": "random"}
     status, metrics = _get(port, "/metrics")
     assert status == 200
     assert metrics["requests_total"] >= 1
