@@ -63,7 +63,11 @@ def _maxpool2(x):
 
 
 class ResampleDown(nn.Module):
-    """1x1 channel adapt + stride-2 maxpool (P5 -> P6 -> P7)."""
+    """1x1 channel adapt + stride-2 maxpool (P5 -> P6 -> P7).
+
+    Matches automl's pre-cell `resample_p6` (conv+BN only when the channel
+    count differs, then pooling); `resample_p7` is pool-only.
+    """
 
     features: int
     dtype: Any
@@ -72,7 +76,8 @@ class ResampleDown(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.shape[-1] != self.features:
-            x = ConvBN(self.features, 1, 1, act=None, dtype=self.dtype,
+            x = ConvBN(self.features, 1, 1, act=None, bn_eps=1e-3,
+                       dtype=self.dtype,
                        param_dtype=self.param_dtype, name="adapt")(x, train)
         return _maxpool2(x)
 
@@ -82,6 +87,13 @@ class BiFPNLayer(nn.Module):
 
     Lite models replace the weighted fast-attention fusion with plain sums
     (quantization-friendly); each fused node is relu6 -> separable conv+BN.
+
+    Node/resample topology mirrors the automl fnode graph so pretrained
+    checkpoints map 1:1: backbone features enter the FIRST cell raw, and
+    every node that consumes a feature whose channel count differs applies
+    its OWN 1x1 conv+BN resample (automl `fpn_cells/cell_0/fnode*/
+    resample_*`) — in particular the top-down and bottom-up consumers of
+    raw P4/P5 each hold separate resample weights.
     """
 
     features: int
@@ -93,6 +105,15 @@ class BiFPNLayer(nn.Module):
             self.features, act=None, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name,
         )
+
+    def _resample(self, x, name, train):
+        """Per-node input adapt: 1x1 conv+BN iff channels differ."""
+        if x.shape[-1] == self.features:
+            return x
+        return ConvBN(
+            self.features, 1, 1, act=None, bn_eps=1e-3, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )(x, train)
 
     @nn.compact
     def __call__(self, feats: List[jax.Array], train: bool = False):
@@ -108,7 +129,8 @@ class BiFPNLayer(nn.Module):
                 td[i + 1], td[i + 1].shape[:1] + feats[i].shape[1:3]
                 + td[i + 1].shape[3:], method="nearest",
             )
-            td[i] = self._node(f"td_{i}")(relu6(feats[i] + up), train)
+            lat = self._resample(feats[i], f"td_resample_{i}", train)
+            td[i] = self._node(f"td_{i}")(relu6(lat + up), train)
         # bottom-up: P4'' = conv(relu6(P4 + P4' + down(P3'')))
         out = [None] * n
         out[0] = td[0]
@@ -116,7 +138,8 @@ class BiFPNLayer(nn.Module):
             down = _maxpool2(out[i - 1])
             s = td[i] + down
             if i < n - 1:
-                s = s + feats[i]  # original skip (not at the ends)
+                # original skip (not at the ends), separately resampled
+                s = s + self._resample(feats[i], f"bu_resample_{i}", train)
             out[i] = self._node(f"bu_{i}")(relu6(s), train)
         return out
 
@@ -199,14 +222,11 @@ class EfficientDet(nn.Module):
         )(x, train)
 
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        feats = [
-            ConvBN(cfg.fpn_channels, 1, 1, act=None, name="lateral_p3", **dt)(c3, train),
-            ConvBN(cfg.fpn_channels, 1, 1, act=None, name="lateral_p4", **dt)(c4, train),
-            ConvBN(cfg.fpn_channels, 1, 1, act=None, name="lateral_p5", **dt)(c5, train),
-        ]
+        # raw C3/C4/C5 enter the first BiFPN cell directly; that cell's
+        # fnodes own the channel resamples (automl topology — see BiFPNLayer)
         p6 = ResampleDown(cfg.fpn_channels, name="p6_down", **dt)(c5, train)
         p7 = ResampleDown(cfg.fpn_channels, name="p7_down", **dt)(p6, train)
-        feats += [p6, p7]
+        feats = [c3, c4, c5, p6, p7]
 
         for i in range(cfg.fpn_repeats):
             feats = BiFPNLayer(

@@ -52,6 +52,8 @@ class EfficientNetLiteConfig:
     width_mult: float = 1.0
     depth_mult: float = 1.0
     stem_channels: int = 32  # fixed in lite variants
+    # upstream checkpoint variable-name prefix (automl convention)
+    tf_name: str = "efficientnet-lite0"
 
     @property
     def stages(self) -> Tuple[Tuple[int, int, int, int, int], ...]:
@@ -66,11 +68,11 @@ class EfficientNetLiteConfig:
         return tuple(out)
 
 
-LITE0 = EfficientNetLiteConfig(1.0, 1.0)
-LITE1 = EfficientNetLiteConfig(1.0, 1.1)
-LITE2 = EfficientNetLiteConfig(1.1, 1.2)
-LITE3 = EfficientNetLiteConfig(1.2, 1.4)
-LITE4 = EfficientNetLiteConfig(1.4, 1.8)
+LITE0 = EfficientNetLiteConfig(1.0, 1.0, tf_name="efficientnet-lite0")
+LITE1 = EfficientNetLiteConfig(1.0, 1.1, tf_name="efficientnet-lite1")
+LITE2 = EfficientNetLiteConfig(1.1, 1.2, tf_name="efficientnet-lite2")
+LITE3 = EfficientNetLiteConfig(1.2, 1.4, tf_name="efficientnet-lite3")
+LITE4 = EfficientNetLiteConfig(1.4, 1.8, tf_name="efficientnet-lite4")
 
 
 class MBConvLite(nn.Module):
@@ -88,17 +90,19 @@ class MBConvLite(nn.Module):
         in_ch = x.shape[-1]
         residual = x
         h = x
+        # BN eps 1e-3 throughout the EfficientNet family (automl convention;
+        # imported checkpoints' moving statistics assume it)
         if self.expand_ratio != 1:
             h = ConvBN(in_ch * self.expand_ratio, 1, 1, act=relu6,
                        dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="expand")(h, train)
+                       bn_eps=1e-3, name="expand")(h, train)
         h = ConvBN(h.shape[-1], self.kernel, self.stride,
                    groups=h.shape[-1], act=relu6,
                    dtype=self.dtype, param_dtype=self.param_dtype,
-                   name="depthwise")(h, train)
+                   bn_eps=1e-3, name="depthwise")(h, train)
         h = ConvBN(self.features, 1, 1, act=None,
                    dtype=self.dtype, param_dtype=self.param_dtype,
-                   name="project")(h, train)
+                   bn_eps=1e-3, name="project")(h, train)
         if self.stride == 1 and in_ch == self.features:
             h = h + residual
         return h
@@ -116,7 +120,8 @@ class EfficientNetLite(nn.Module):
         cfg = self.config
         x = x.astype(self.dtype)
         x = ConvBN(cfg.stem_channels, 3, 2, act=relu6, dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="stem")(x, train)
+                   param_dtype=self.param_dtype, bn_eps=1e-3,
+                   name="stem")(x, train)
 
         features = []
         for si, (e, c, r, s, k) in enumerate(cfg.stages):

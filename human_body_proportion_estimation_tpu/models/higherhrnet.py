@@ -54,8 +54,10 @@ class HigherHRNet(nn.Module):
 
         # shared HRNet trunk (same layer naming as models/hrnet.py so a
         # single weight converter covers both)
-        x = ConvBN(cfg.stem_channels, 3, 2, name="stem1", **dt)(x, train)
-        x = ConvBN(cfg.stem_channels, 3, 2, name="stem2", **dt)(x, train)
+        x = ConvBN(cfg.stem_channels, 3, 2, torch_pad=True,
+                   name="stem1", **dt)(x, train)
+        x = ConvBN(cfg.stem_channels, 3, 2, torch_pad=True,
+                   name="stem2", **dt)(x, train)
         for i in range(4):
             x = Bottleneck(
                 cfg.bottleneck_channels, name=f"layer1_{i}", **dt

@@ -78,7 +78,8 @@ class FuseLayer(nn.Module):
                 elif j > i:
                     # coarser -> finer: 1x1 conv + BN, nearest upsample 2^(j-i)
                     y = ConvBN(
-                        self.channels[i], 1, 1, act=None, dtype=self.dtype,
+                        self.channels[i], 1, 1, act=None, torch_pad=True,
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype, name=f"up_{j}_{i}",
                     )(xs[j], train)
                     y = upsample_nearest(y, 2 ** (j - i))
@@ -90,7 +91,7 @@ class FuseLayer(nn.Module):
                         last = step == i - j - 1
                         y = ConvBN(
                             self.channels[i] if last else self.channels[j],
-                            3, 2,
+                            3, 2, torch_pad=True,
                             act=None if last else nn.relu,
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name=f"down_{j}_{i}_{step}",
@@ -140,7 +141,7 @@ class Transition(nn.Module):
             if i < len(self.in_channels):
                 if self.in_channels[i] != ch:
                     outs.append(
-                        ConvBN(ch, 3, 1, dtype=self.dtype,
+                        ConvBN(ch, 3, 1, torch_pad=True, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name=f"adapt_{i}")(xs[i], train)
                     )
@@ -148,7 +149,7 @@ class Transition(nn.Module):
                     outs.append(xs[i])
             else:
                 outs.append(
-                    ConvBN(ch, 3, 2, dtype=self.dtype,
+                    ConvBN(ch, 3, 2, torch_pad=True, dtype=self.dtype,
                            param_dtype=self.param_dtype,
                            name=f"new_{i}")(xs[-1], train)
                 )
@@ -168,8 +169,12 @@ class HRNet(nn.Module):
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
 
-        x = ConvBN(cfg.stem_channels, 3, 2, name="stem1", **dt)(x, train)
-        x = ConvBN(cfg.stem_channels, 3, 2, name="stem2", **dt)(x, train)
+        # torch_pad: symmetric padding like the official pose_hrnet convs
+        # (matters for the stride-2 stem; "SAME" would shift by one pixel)
+        x = ConvBN(cfg.stem_channels, 3, 2, torch_pad=True,
+                   name="stem1", **dt)(x, train)
+        x = ConvBN(cfg.stem_channels, 3, 2, torch_pad=True,
+                   name="stem2", **dt)(x, train)
 
         for k in range(4):
             x = Bottleneck(

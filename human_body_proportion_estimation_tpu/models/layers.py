@@ -30,14 +30,23 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     use_bn: bool = True
+    # torch-family models (HRNet) use 1e-5; the EfficientNet/EfficientDet
+    # family uses 1e-3 — must match for imported pretrained weights
+    bn_eps: float = 1e-5
+    # padding semantics: "SAME" (TF — asymmetric for stride 2) vs torch's
+    # symmetric (k-1)//2. Identical for stride 1 / odd kernels, DIFFERENT
+    # for stride-2 convs: torch-family models must set torch_pad=True or
+    # imported pretrained weights see inputs shifted by one pixel.
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = (self.kernel - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=self.stride,
-            padding="SAME",
+            padding=[(p, p), (p, p)] if self.torch_pad else "SAME",
             feature_group_count=self.groups,
             use_bias=not self.use_bn,
             dtype=self.dtype,
@@ -48,7 +57,7 @@ class ConvBN(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
-                epsilon=1e-5,
+                epsilon=self.bn_eps,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="bn",
@@ -69,12 +78,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+        # torch_pad: these blocks exist for the torch-family models (HRNet)
+        y = ConvBN(self.features, 3, self.stride, torch_pad=True,
+                   dtype=self.dtype,
                    param_dtype=self.param_dtype, name="conv1")(x, train)
-        y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype,
+        y = ConvBN(self.features, 3, 1, act=None, torch_pad=True,
+                   dtype=self.dtype,
                    param_dtype=self.param_dtype, name="conv2")(y, train)
         if residual.shape != y.shape:
             residual = ConvBN(self.features, 1, self.stride, act=None,
+                              torch_pad=True,
                               dtype=self.dtype, param_dtype=self.param_dtype,
                               name="downsample")(x, train)
         return nn.relu(y + residual)
@@ -93,14 +106,17 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         out_features = self.features * self.expansion
-        y = ConvBN(self.features, 1, 1, dtype=self.dtype,
+        y = ConvBN(self.features, 1, 1, torch_pad=True, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="conv1")(x, train)
-        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+        y = ConvBN(self.features, 3, self.stride, torch_pad=True,
+                   dtype=self.dtype,
                    param_dtype=self.param_dtype, name="conv2")(y, train)
-        y = ConvBN(out_features, 1, 1, act=None, dtype=self.dtype,
+        y = ConvBN(out_features, 1, 1, act=None, torch_pad=True,
+                   dtype=self.dtype,
                    param_dtype=self.param_dtype, name="conv3")(y, train)
         if residual.shape != y.shape:
             residual = ConvBN(out_features, 1, self.stride, act=None,
+                              torch_pad=True,
                               dtype=self.dtype, param_dtype=self.param_dtype,
                               name="downsample")(x, train)
         return nn.relu(y + residual)

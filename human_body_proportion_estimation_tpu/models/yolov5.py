@@ -60,14 +60,18 @@ class ConvBnSiLU(nn.Module):
     features: int
     kernel: int = 1
     stride: int = 1
+    # ultralytics pads symmetrically (autopad = k//2, stem overrides 2);
+    # "SAME" would shift stride-2 3x3 convs by one pixel vs torch weights
+    pad: int | None = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = self.kernel // 2 if self.pad is None else self.pad
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=self.stride,
-            padding="SAME", use_bias=False, dtype=self.dtype,
+            padding=[(p, p), (p, p)], use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv",
         )(x)
         x = nn.BatchNorm(
@@ -151,7 +155,7 @@ class YoloV5(nn.Module):
         d = cfg.depth
         x = x.astype(self.dtype)
 
-        x = ConvBnSiLU(w(64), 6, 2, name="stem", **dt)(x, train)
+        x = ConvBnSiLU(w(64), 6, 2, pad=2, name="stem", **dt)(x, train)
         x = ConvBnSiLU(w(128), 3, 2, name="down1", **dt)(x, train)
         x = C3(w(128), d(3), name="c3_1", **dt)(x, train)
         x = ConvBnSiLU(w(256), 3, 2, name="down2", **dt)(x, train)
