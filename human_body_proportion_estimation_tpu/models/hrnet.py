@@ -32,10 +32,13 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from human_body_proportion_estimation_tpu.models.layers import (
     BasicBlock,
     Bottleneck,
     ConvBN,
+    PackedConvBN,
     upsample_nearest,
 )
 
@@ -60,11 +63,18 @@ HRNET_W48 = HRNetConfig(width=48)
 
 
 class FuseLayer(nn.Module):
-    """Full multi-resolution exchange across branches."""
+    """Full multi-resolution exchange across branches.
+
+    `packed_branch0`: branch 0 tensors are 2x2 space-to-depth packed
+    (see ops/s2d.py) — up-paths INTO branch 0 emit packed via tiled 1x1
+    kernels + half-factor upsample, and the first step of every down-path
+    OUT of branch 0 consumes packed via a 2x2 stride-1 kernel. Exact
+    reparametrization over the same variable tree."""
 
     channels: Sequence[int]
     dtype: Any
     param_dtype: Any
+    packed_branch0: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -77,25 +87,43 @@ class FuseLayer(nn.Module):
                     y = xs[j]
                 elif j > i:
                     # coarser -> finer: 1x1 conv + BN, nearest upsample 2^(j-i)
-                    y = ConvBN(
-                        self.channels[i], 1, 1, act=None, torch_pad=True,
-                        dtype=self.dtype,
-                        param_dtype=self.param_dtype, name=f"up_{j}_{i}",
-                    )(xs[j], train)
-                    y = upsample_nearest(y, 2 ** (j - i))
+                    if i == 0 and self.packed_branch0:
+                        y = PackedConvBN(
+                            self.channels[0], "producer1x1", act=None,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"up_{j}_{i}",
+                        )(xs[j], train)
+                        if j - i > 1:
+                            y = upsample_nearest(y, 2 ** (j - i - 1))
+                    else:
+                        y = ConvBN(
+                            self.channels[i], 1, 1, act=None, torch_pad=True,
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=f"up_{j}_{i}",
+                        )(xs[j], train)
+                        y = upsample_nearest(y, 2 ** (j - i))
                 else:
                     # finer -> coarser: chained stride-2 3x3 convs; ReLU
                     # between steps, none on the last (official HRNet).
                     y = xs[j]
                     for step in range(i - j):
                         last = step == i - j - 1
-                        y = ConvBN(
-                            self.channels[i] if last else self.channels[j],
-                            3, 2, torch_pad=True,
-                            act=None if last else nn.relu,
-                            dtype=self.dtype, param_dtype=self.param_dtype,
-                            name=f"down_{j}_{i}_{step}",
-                        )(y, train)
+                        feats = self.channels[i] if last else self.channels[j]
+                        if j == 0 and step == 0 and self.packed_branch0:
+                            y = PackedConvBN(
+                                feats, "consumer",
+                                act=None if last else nn.relu,
+                                dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name=f"down_{j}_{i}_{step}",
+                            )(y, train)
+                        else:
+                            y = ConvBN(
+                                feats, 3, 2, torch_pad=True,
+                                act=None if last else nn.relu,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name=f"down_{j}_{i}_{step}",
+                            )(y, train)
                 acc = y if acc is None else acc + y
             outs.append(nn.relu(acc))
         return outs
@@ -108,20 +136,30 @@ class HRModule(nn.Module):
     num_blocks: int
     dtype: Any
     param_dtype: Any
+    packed_branch0: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
+        from human_body_proportion_estimation_tpu.models.layers import (
+            PackedBasicBlock,
+        )
+
         ys = []
         for b, ch in enumerate(self.channels):
             y = xs[b]
+            block = (
+                PackedBasicBlock if b == 0 and self.packed_branch0
+                else BasicBlock
+            )
             for k in range(self.num_blocks):
-                y = BasicBlock(
+                y = block(
                     ch, dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"branch{b}_block{k}",
                 )(y, train)
             ys.append(y)
         return FuseLayer(
-            self.channels, self.dtype, self.param_dtype, name="fuse"
+            self.channels, self.dtype, self.param_dtype,
+            packed_branch0=self.packed_branch0, name="fuse"
         )(ys, train)
 
 
@@ -133,6 +171,11 @@ class Transition(nn.Module):
     out_channels: Sequence[int]
     dtype: Any
     param_dtype: Any
+    # branch-0 packing state of the INPUT tensor; when True-out/False-in
+    # (stage-2 transition) the adapt conv becomes the packed-domain
+    # producer (4x4 stride-2 kernel emitting the packed branch directly)
+    packed_branch0_in: bool = False
+    packed_branch0_out: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -140,11 +183,22 @@ class Transition(nn.Module):
         for i, ch in enumerate(self.out_channels):
             if i < len(self.in_channels):
                 if self.in_channels[i] != ch:
-                    outs.append(
-                        ConvBN(ch, 3, 1, torch_pad=True, dtype=self.dtype,
-                               param_dtype=self.param_dtype,
-                               name=f"adapt_{i}")(xs[i], train)
-                    )
+                    if i == 0 and self.packed_branch0_out:
+                        mode = (
+                            "inner" if self.packed_branch0_in else "producer"
+                        )
+                        outs.append(
+                            PackedConvBN(
+                                ch, mode, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name=f"adapt_{i}")(xs[i], train)
+                        )
+                    else:
+                        outs.append(
+                            ConvBN(ch, 3, 1, torch_pad=True, dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name=f"adapt_{i}")(xs[i], train)
+                        )
                 else:
                     outs.append(xs[i])
             else:
@@ -162,11 +216,18 @@ class HRNet(nn.Module):
     config: HRNetConfig = HRNET_W32
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Run the high-res branch 2x2 space-to-depth packed (W -> 4W channels
+    # at half resolution) — exact reparametrization over the SAME variable
+    # tree that fills the 128-wide MXU instead of 1/4 of it (ops/s2d.py).
+    # Serving-path only (BN uses running stats); default off so training,
+    # converters and parity oracles see the canonical graph.
+    packed_branch0: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = self.config
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        packed = self.packed_branch0 and not train
         x = x.astype(self.dtype)
 
         # torch_pad: symmetric padding like the official pose_hrnet convs
@@ -187,16 +248,36 @@ class HRNet(nn.Module):
             zip(cfg.stage_modules, cfg.branch_channels)
         ):
             xs = Transition(
-                prev_channels, channels, name=f"transition{stage_idx + 2}", **dt
+                prev_channels, channels,
+                packed_branch0_in=packed and stage_idx > 0,
+                packed_branch0_out=packed,
+                name=f"transition{stage_idx + 2}", **dt
             )(xs, train)
             for m in range(n_modules):
                 xs = HRModule(
-                    channels, cfg.blocks_per_branch,
+                    channels, cfg.blocks_per_branch, packed_branch0=packed,
                     name=f"stage{stage_idx + 2}_module{m}", **dt
                 )(xs, train)
             prev_channels = channels
 
         # head on the highest-resolution branch; f32 logits for stable argmax
+        if packed:
+            from human_body_proportion_estimation_tpu.models.layers import (
+                _ConvParams,
+            )
+            from human_body_proportion_estimation_tpu.ops import s2d
+
+            kernel, bias = _ConvParams(
+                (1, 1, cfg.branch_channels[-1][0], cfg.num_keypoints),
+                self.param_dtype, use_bias=True, name="head",
+            )()
+            kp = s2d.pack_pointwise_blockdiag(kernel).astype(jnp.float32)
+            out = jax.lax.conv_general_dilated(
+                xs[0].astype(jnp.float32), kp, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = out + s2d.tile_channel_vector(bias).astype(jnp.float32)
+            return s2d.depth_to_space(out)
         out = nn.Conv(
             cfg.num_keypoints, (1, 1), dtype=jnp.float32,
             param_dtype=self.param_dtype, name="head",

@@ -179,6 +179,11 @@ class InferencePipeline:
                             jnp.float32,
                         ),
                     )
+        # optional StageTimer (utils/profiling.py) the serving edge attaches
+        # so /metrics can expose a per-stage latency split (host prepare vs
+        # device upload vs compute+readback) — the observability the
+        # round-1 review asked for to prove where serving time goes
+        self.stages = None
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -238,15 +243,32 @@ class InferencePipeline:
         """Lean serving path: one packed [n, P, 23] numpy array
         (valid | lengths_cm x11 | seg_visible x11) in a single device
         readback — see FusedPipeline.forward_serving."""
-        batch, thresholds, heights, orig_hw, n = self._prepare(
-            images_rgb, person_heights, det_threshold
+        import contextlib
+
+        stage = self.stages.stage if self.stages is not None else (
+            lambda _name: contextlib.nullcontext()
         )
-        packed = self._serving_program()(
-            self.det_vars, self.pose_vars, jnp.asarray(batch),
-            jnp.asarray(thresholds), jnp.asarray(heights),
-            jnp.asarray(orig_hw),
-        )
-        return np.asarray(packed)[:n]
+        with stage("host_prepare"):
+            batch, thresholds, heights, orig_hw, n = self._prepare(
+                images_rgb, person_heights, det_threshold
+            )
+        with stage("device_upload"):
+            # NOTE: under the remote-TPU tunnel this measures transfer
+            # DISPATCH acknowledgement; on locally attached TPUs it is the
+            # actual copy (jax blocks the producer thread on the transfer)
+            dev_batch = jnp.asarray(batch)
+            dev_args = (
+                jnp.asarray(thresholds), jnp.asarray(heights),
+                jnp.asarray(orig_hw),
+            )
+            jax.block_until_ready(dev_batch)
+        with stage("device_compute_readback"):
+            # np.asarray is the only honest fence through the tunnel: it
+            # completes when result VALUES are host-resident
+            packed = np.asarray(self._serving_program()(
+                self.det_vars, self.pose_vars, dev_batch, *dev_args
+            ))
+        return packed[:n]
 
     def infer_images(
         self,

@@ -63,9 +63,20 @@ class ServingApp:
 
     def __init__(self, pipeline: InferencePipeline,
                  config: PipelineConfig | None = None):
+        from human_body_proportion_estimation_tpu.utils.profiling import (
+            StageTimer,
+        )
+
         self.pipeline = pipeline
         self.config = config or pipeline.config
         self.metrics = Metrics()
+        # per-stage latency split for /metrics: request decode (handler
+        # threads), host batch prepare, device upload, device compute +
+        # readback (pipeline/host.py infer_serving) — proves where serving
+        # time goes (in this sandbox: the tunnel upload; the reference
+        # ships no equivalent, Triton metrics disabled)
+        self.stages = StageTimer()
+        pipeline.stages = self.stages
         serve_cfg = self.config.serve
         self.native = False
         if serve_cfg.native_batcher:
@@ -93,6 +104,7 @@ class ServingApp:
             )
 
     def metrics_snapshot(self) -> Dict[str, Any]:
+        stages = {"stages": self.stages.snapshot()}
         if self.native:
             m = self.batcher.metrics_json()
             # unified key set across engines
@@ -101,8 +113,8 @@ class ServingApp:
             # back-pressure rejections stay separate under "rejected"
             m["failures_total"] = m.get("failed", 0)
             m["batches_total"] = m.get("batches", 0)
-            return {"engine": "native", **m}
-        return {"engine": "python", **self.metrics.snapshot()}
+            return {"engine": "native", **m, **stages}
+        return {"engine": "python", **self.metrics.snapshot(), **stages}
 
     def _run_batch(self, payloads: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         from human_body_proportion_estimation_tpu.ops import (
@@ -150,7 +162,8 @@ class ServingApp:
             if "threshold" in form else 0.70
         back_url = form["back_url"].data.decode() if "back_url" in form else ""
 
-        image = decode_image_bytes(form["file"].data)
+        with self.stages.stage("request_decode"):
+            image = decode_image_bytes(form["file"].data)
         response = self.batcher.infer(
             {"image": image, "height": height, "threshold": threshold}
         )

@@ -226,6 +226,14 @@ def test_metrics_and_health(served_app):
     assert status == 200
     assert metrics["requests_total"] >= 1
     assert "latency_ms_p95" in metrics
+    # per-stage latency split (round-1 review weak #6): decode / host
+    # prepare / device upload / device compute+readback must be present
+    # with observations so operators can attribute serving latency
+    stages = metrics["stages"]
+    for key in ("request_decode", "host_prepare", "device_upload",
+                "device_compute_readback"):
+        assert stages[key]["count"] >= 1, key
+        assert stages[key]["mean_ms"] >= 0.0
 
 
 def test_concurrent_requests_batched(served_app):
