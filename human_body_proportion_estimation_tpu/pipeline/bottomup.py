@@ -71,6 +71,7 @@ class BottomUpPipeline:
         self.tag_threshold = tag_threshold
         self.score_threshold = score_threshold
         self.model = HigherHRNet()
+        pose_vars_given = pose_vars is not None
         if pose_vars is None:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
@@ -80,6 +81,22 @@ class BottomUpPipeline:
                 )
         self.pose_vars = jax.device_put(pose_vars, jax.devices()[0])
         self._program = None
+        self._serving = None
+        # serving-edge integration (mirrors InferencePipeline's contract):
+        # /health weight provenance + optional /metrics stage timer
+        self.weights_origin = {"pose": "real" if pose_vars_given else "random"}
+        self.stages = None
+        if self.weights_origin["pose"] == "random":
+            from human_body_proportion_estimation_tpu.utils.logging import (
+                get_logger,
+            )
+
+            get_logger("pipeline").warning(
+                "random_weights",
+                msg="RANDOM-INIT HigherHRNet IN USE — bottom-up outputs are "
+                    "garbage; pass pose_vars",
+                **self.weights_origin,
+            )
 
     # ------------------------------------------------------------------ #
 
@@ -158,6 +175,79 @@ class BottomUpPipeline:
             lengths_cm=jnp.where(seg_visible, seg.lengths_cm, 0.0),
             seg_visible=seg_visible,
         )
+
+    def forward_serving(
+        self, pose_vars, images, person_heights, orig_hw
+    ) -> jax.Array:
+        """Packed [B, P, 23] (valid | 11 lengths | 11 visibility) — the
+        same single-readback serving layout as the top-down pipeline
+        (FusedPipeline.forward_serving), so the HTTP/gRPC edge and the
+        deadline batcher serve both pipelines interchangeably."""
+        out = self.forward(pose_vars, images, person_heights, orig_hw)
+        return jnp.concatenate(
+            [
+                out.person_valid.astype(jnp.float32)[..., None],
+                out.lengths_cm,
+                out.seg_visible.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    def infer_serving(
+        self,
+        images_rgb: Sequence[np.ndarray],
+        person_heights: Sequence[float] | float = 175.0,
+        det_threshold=0.70,  # accepted for edge-interface parity; the
+        # bottom-up path has no detector — visibility is governed by the
+        # heatmap-peak score_threshold instead
+    ) -> np.ndarray:
+        import contextlib
+
+        stage = self.stages.stage if self.stages is not None else (
+            lambda _name: contextlib.nullcontext()
+        )
+        with stage("host_prepare"):
+            batch, heights, orig_hw, n = self._prepare(
+                images_rgb, person_heights
+            )
+        with stage("device_upload"):
+            dev_batch = jnp.asarray(batch)
+            dev_args = (jnp.asarray(heights), jnp.asarray(orig_hw))
+            jax.block_until_ready(dev_batch)
+        with stage("device_compute_readback"):
+            if self._serving is None:
+                self._serving = jax.jit(self.forward_serving)
+            packed = np.asarray(
+                self._serving(self.pose_vars, dev_batch, *dev_args)
+            )
+        return packed[:n]
+
+    def _prepare(self, images_rgb, person_heights):
+        from human_body_proportion_estimation_tpu.pipeline.host import (
+            _pad_batch,
+            resize_for_detector,
+        )
+
+        n = len(images_rgb)
+        b = _pad_batch(n, self.config.serve.max_batch)
+        h, w = self.INPUT_HW
+        p = self.max_people
+        batch = np.zeros((b, h, w, 3), np.uint8)
+        orig_hw = np.ones((b, 2), np.float32)
+        heights = np.full((b, p), 175.0, np.float32)
+        for i, img in enumerate(images_rgb):
+            batch[i] = resize_for_detector(img, w, h)
+            orig_hw[i] = img.shape[:2]
+            hi = person_heights
+            if np.isscalar(hi):
+                heights[i, :] = float(hi)
+            else:
+                per_img = hi[i] if isinstance(hi[i], (list, tuple)) else hi
+                for slot in range(p):
+                    heights[i, slot] = float(
+                        per_img[min(slot, len(per_img) - 1)]
+                    )
+        return batch, heights, orig_hw, n
 
     # ------------------------------------------------------------------ #
 

@@ -319,7 +319,39 @@ def main(argv=None):
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard serving batches over N chips "
                              "(0 = single device)")
+    parser.add_argument(
+        "--bottom-up", action="store_true",
+        help="serve the detector-free bottom-up pipeline instead "
+             "(HigherHRNet + associative-embedding grouping, one model "
+             "pass per image; beyond-reference capability). --detector is "
+             "ignored; the request 'threshold' form maps to the AE peak "
+             "score threshold fixed at startup, not per request",
+    )
     args = parser.parse_args(argv)
+
+    if args.bottom_up:
+        from human_body_proportion_estimation_tpu.pipeline.bottomup import (
+            BottomUpPipeline,
+        )
+
+        pose_vars = None
+        if args.checkpoint_dir:
+            from human_body_proportion_estimation_tpu.models import weights
+
+            # checkpoint layout shared with the top-down pipeline; the
+            # detector slot is absent/ignored in bottom-up mode
+            _, pose_vars = weights.load_pipeline_checkpoint(
+                args.checkpoint_dir
+            )
+        pipeline = BottomUpPipeline(pose_vars=pose_vars)
+        if pipeline.weights_origin["pose"] == "random":
+            print(
+                "WARNING: serving RANDOM-INIT HigherHRNet — outputs are "
+                "garbage; pass --checkpoint-dir (see /health 'weights')",
+                flush=True,
+            )
+        _serve(args, pipeline, detector_name="bottom_up")
+        return
 
     from human_body_proportion_estimation_tpu.models.efficientdet import (
         EFFICIENTDET_LITE0,
@@ -358,6 +390,10 @@ def main(argv=None):
               "--detector ssd_mobilenet (see /health 'weights')",
             flush=True,
         )
+    _serve(args, pipeline, detector_name=args.detector)
+
+
+def _serve(args, pipeline, detector_name: str):
     app = ServingApp(pipeline)
     server = create_server(app, args.host, args.port)
     grpc_server = None
@@ -373,7 +409,7 @@ def main(argv=None):
         print(f"grpc on {args.host}:{bound}", flush=True)
     log.info("http_listening", host=args.host, port=args.port,
              engine="native" if app.native else "python",
-             detector=args.detector)
+             detector=detector_name)
     print(f"serving on {args.host}:{args.port}", flush=True)
     try:
         server.serve_forever()
