@@ -73,13 +73,13 @@ class BottomUpPipeline:
         self.model = HigherHRNet()
         pose_vars_given = pose_vars is not None
         if pose_vars is None:
-            cpu = jax.devices("cpu")[0]
+            cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
                 pose_vars = self.model.init(
                     jax.random.PRNGKey(rng_seed),
                     jnp.zeros((1, *self.INPUT_HW, 3), jnp.float32),
                 )
-        self.pose_vars = jax.device_put(pose_vars, jax.devices()[0])
+        self.pose_vars = jax.device_put(pose_vars, jax.local_devices()[0])
         self._program = None
         self._serving = None
         # serving-edge integration (mirrors InferencePipeline's contract):

@@ -98,6 +98,7 @@ class InferencePipeline:
         detector: str | None = None,
         mesh=None,
         backend=None,
+        place_params: bool = True,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
         fused program is then jitted with the image batch sharded over
@@ -166,7 +167,9 @@ class InferencePipeline:
         if det_vars is None or pose_vars is None:
             # random init on host CPU (fast trace), then device-put once;
             # real checkpoints come through `weights.load_*`
-            cpu = jax.devices("cpu")[0]
+            # local_devices: under multi-controller jax.devices() is the
+            # GLOBAL list and [0] may belong to another process
+            cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
                 rng = jax.random.PRNGKey(rng_seed)
                 if det_vars is None:
@@ -185,7 +188,15 @@ class InferencePipeline:
         # round-1 review asked for to prove where serving time goes
         self.stages = None
         self.mesh = mesh
-        if mesh is not None:
+        if not place_params:
+            # multi-controller (multi-host) mode: jax.devices()[0] may not
+            # be addressable from this process, so params stay host-side;
+            # parallel/multihost.MultiHostServing replicates them over the
+            # global mesh and owns program placement
+            self.det_vars = det_vars
+            self.pose_vars = pose_vars
+            self._data_sharding = None
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             replicated = NamedSharding(mesh, P())

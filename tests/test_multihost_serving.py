@@ -1,0 +1,74 @@
+"""Multi-host (DCN) serving: 2 processes x 4 virtual CPU devices run the
+fused serving program lockstep over a global 8-device 'data' mesh
+(parallel/multihost.py) and must reproduce the single-process result.
+
+The reference cannot scale past one GPU/host at all (SURVEY §2.3); this
+is the beyond-reference scale-out path. Gloo over localhost stands in for
+DCN; on a TPU pod the same code path uses the TPU coordination service
+and compiler-placed DCN collectives.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.multihost_common import make_batch, tiny_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_serving_matches_single_process(tmp_path):
+    # single-process reference on the plain (unsharded) pipeline
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+
+    cfg, det_cfg = tiny_config()
+    batch, thresholds, heights, orig_hw = make_batch()
+    single = InferencePipeline(config=cfg, det_config=det_cfg, rng_seed=0)
+    import jax.numpy as jnp
+
+    ref = np.asarray(single._serving_program()(
+        single.det_vars, single.pose_vars, jnp.asarray(batch),
+        jnp.asarray(thresholds), jnp.asarray(heights),
+        jnp.asarray(orig_hw),
+    ))
+
+    port = _free_port()
+    out = str(tmp_path / "packed.npy")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    script = os.path.join(REPO, "tests", "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1500)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), (
+        "worker failures:\n" + "\n----\n".join(logs)
+    )
+    assert "coordinator OK" in logs[0]
+    assert "worker OK" in logs[1]
+
+    packed = np.load(out)
+    assert packed.shape == ref.shape == (8, 3, 23)
+    np.testing.assert_allclose(packed, ref, rtol=1e-4, atol=1e-4)
