@@ -144,10 +144,37 @@ class BiFPNLayer(nn.Module):
         return out
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for a 1x1 nn.Conv: declares the SAME
+    variable tree (kernel [1, 1, in, out], bias [out], same initializers)
+    so a checkpoint loads identically, but returns the raw tensors for a
+    fused Pallas consumer instead of running the conv."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (self.features,), jnp.float32,
+        )
+        return kernel, bias
+
+
 class HeadNet(nn.Module):
     """Class/box head: repeated separable convs with weights SHARED across
     pyramid levels but BatchNorm statistics per level (official EfficientDet
-    head structure), then a shared final prediction conv."""
+    head structure), then a shared final prediction conv.
+
+    `score_epilogue`, when given, replaces the final prediction conv with
+    a fused consumer `epilogue(z, kernel, bias) -> per-level output` (the
+    Pallas head-score kernel); the predict_pw parameter tree is unchanged
+    (see _ConvParams)."""
 
     out_channels: int
     repeats: int
@@ -156,7 +183,8 @@ class HeadNet(nn.Module):
     param_dtype: Any
 
     @nn.compact
-    def __call__(self, feats: List[jax.Array], train: bool = False):
+    def __call__(self, feats: List[jax.Array], train: bool = False,
+                 score_epilogue=None):
         # instantiate shared conv modules once; reusing the same instance
         # across levels ties their parameters in flax
         dw = [
@@ -176,10 +204,15 @@ class HeadNet(nn.Module):
             feature_group_count=self.features, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name="predict_dw",
         )
-        predict_pw = nn.Conv(
-            self.out_channels, (1, 1), use_bias=True, dtype=jnp.float32,
-            param_dtype=self.param_dtype, name="predict_pw",
-        )
+        if score_epilogue is None:
+            predict_pw = nn.Conv(
+                self.out_channels, (1, 1), use_bias=True, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name="predict_pw",
+            )
+        else:
+            predict_params = _ConvParams(
+                self.out_channels, self.features, name="predict_pw"
+            )
 
         outs = []
         for li, x in enumerate(feats):
@@ -193,8 +226,12 @@ class HeadNet(nn.Module):
                     param_dtype=self.param_dtype, name=f"bn{r}_l{li}",
                 )(x)
                 x = relu6(x)
-            x = predict_pw(predict_dw(x).astype(jnp.float32))
-            outs.append(x)
+            z = predict_dw(x)
+            if score_epilogue is None:
+                outs.append(predict_pw(z.astype(jnp.float32)))
+            else:
+                kernel, bias = predict_params()
+                outs.append(score_epilogue(z, kernel, bias))
         return outs
 
 
@@ -208,9 +245,17 @@ class EfficientDet(nn.Module):
     config: EfficientDetConfig = EFFICIENTDET_LITE4
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # fuse the class-head predict conv with the score reduction in a
+    # Pallas kernel (TPU serving path; see ops/pallas_kernels.
+    # head_score_epilogue). Changes `prescored=True` outputs to
+    # (best_logit, PERSON_logit, box_flat) — person-only scoring for the
+    # fused person pipeline; the canonical all-class contract stays on
+    # score_kernel=False. Parameter tree is identical either way.
+    score_kernel: bool = False
+    person_class0: int = 0
 
     @nn.compact
-    def __call__(self, images, train: bool = False):
+    def __call__(self, images, train: bool = False, prescored: bool = False):
         cfg = self.config
         x = images.astype(jnp.float32)
         # automl lite preprocessing: scale to [-1, 1]
@@ -234,20 +279,60 @@ class EfficientDet(nn.Module):
             )(feats, train)
 
         na = cfg.anchors.anchors_per_cell
+        use_kernel = self.score_kernel and prescored and not train
+        epilogue = None
+        if use_kernel:
+            from human_body_proportion_estimation_tpu.ops.pallas_kernels import (
+                head_score_epilogue,
+            )
+
+            def epilogue(z, kernel, bias):
+                return head_score_epilogue(
+                    z, kernel, bias, na, cfg.num_classes,
+                    person_class0=self.person_class0,
+                )
+
         cls_out = HeadNet(
             na * cfg.num_classes, cfg.head_repeats, cfg.fpn_channels,
             name="class_net", **dt,
-        )(feats, train)
+        )(feats, train, score_epilogue=epilogue)
         box_out = HeadNet(
             na * 4, cfg.head_repeats, cfg.fpn_channels, name="box_net", **dt
         )(feats, train)
 
         b = images.shape[0]
-        cls_flat = jnp.concatenate(
-            [o.reshape(b, -1, cfg.num_classes) for o in cls_out], axis=1
-        )
         box_flat = jnp.concatenate(
             [o.reshape(b, -1, 4) for o in box_out], axis=1
+        )
+        if use_kernel:
+            # cls_out entries are (best_logit, person_logit) per level
+            best_logit = jnp.concatenate(
+                [o[0].reshape(b, -1) for o in cls_out], axis=1
+            )
+            person_logit = jnp.concatenate(
+                [o[1].reshape(b, -1) for o in cls_out], axis=1
+            )
+            return best_logit, person_logit, box_flat
+        if prescored:
+            # reduce over the class axis PER LEVEL, on the head's native
+            # [B, H, W, A*C] conv layout, so the max/argmax can fuse with
+            # the head epilogue instead of round-tripping the concatenated
+            # [B, N, C] tensor through HBM in a lane-misaligned layout.
+            # Exact: sigmoid is monotone, so max/argmax over logits ==
+            # over sigmoid scores.
+            na = cfg.anchors.anchors_per_cell
+            logits, classes = [], []
+            for o in cls_out:
+                lv = o.reshape(
+                    b, o.shape[1], o.shape[2], na, cfg.num_classes
+                )
+                logits.append(jnp.max(lv, axis=-1).reshape(b, -1))
+                classes.append(jnp.argmax(lv, axis=-1).reshape(b, -1))
+            best_logit = jnp.concatenate(logits, axis=1)     # [B, N]
+            best_class = jnp.concatenate(classes, axis=1)    # [B, N]
+            return best_logit, best_class, box_flat
+        cls_flat = jnp.concatenate(
+            [o.reshape(b, -1, cfg.num_classes) for o in cls_out], axis=1
         )
         return cls_flat, box_flat
 
@@ -267,10 +352,80 @@ def postprocess(
     valid [100]) — mirroring the served SavedModel outputs consumed at
     `models/conv.py:16-18`. Fixed-shape: score-topk + masked NMS.
     """
+    # sigmoid is monotone, so reduce over LOGITS and activate only the
+    # winner — identical to sigmoid-then-max (the model's `prescored` mode
+    # performs the same reduction per level, fused with the head epilogue)
+    best_logit = jnp.max(cls_logits, axis=-1)
+    best_class = jnp.argmax(cls_logits, axis=-1)
+    return postprocess_prescored(
+        best_logit, best_class, box_regs, image_hw, config,
+        score_threshold=score_threshold, iou_threshold=iou_threshold,
+        top_k=top_k,
+    )
+
+
+def person_slots(
+    best_logit: jax.Array,      # [N] per-anchor winning-class logit
+    person_logit: jax.Array,    # [N] per-anchor person-class logit
+    box_regs: jax.Array,        # [N, 4]
+    image_hw: tuple[int, int],
+    config: EfficientDetConfig,
+    det_threshold: jax.Array,
+    iou_threshold: float = 0.5,
+    top_k: int = 128,
+    max_persons: int = 3,
+):
+    """Person-only detection slots straight from the score-kernel outputs
+    (one image; vmapped by the backend's caller).
+
+    Semantics mirror `postprocess` -> `select_persons` for the person
+    class: an anchor is a person candidate iff person is its argmax class
+    — `person_logit >= best_logit` with person index 0 reproduces argmax's
+    first-wins tie rule exactly — and per-class NMS means person-box
+    survival depends only on person boxes, so NMS over person candidates
+    alone is exact. Difference (strictly better, TPU fused path only): the
+    candidate cut is the person-score top-K rather than the all-class
+    global top-K, so crowded scenes can't push persons out of the
+    candidate set. Returns (boxes [P, 4] pixel yxyx, scores [P],
+    valid [P]).
+    """
+    from human_body_proportion_estimation_tpu.ops import nms as nms_ops
+
+    is_person = person_logit >= best_logit
+    scores = jnp.where(is_person, jax.nn.sigmoid(person_logit), 0.0)
+    top_scores, idx = jax.lax.top_k(scores, top_k)
+
     anchors = jnp.asarray(generate_anchors(config.anchors, *image_hw))
-    scores_all = jax.nn.sigmoid(cls_logits)          # [N, C]
-    best_score = jnp.max(scores_all, axis=-1)
-    best_class = jnp.argmax(scores_all, axis=-1)
+    boxes_yxyx = decode_boxes(box_regs[idx], anchors[idx])
+    h, w = image_hw
+    boxes_yxyx = jnp.clip(
+        boxes_yxyx, 0.0, jnp.asarray([h, w, h, w], jnp.float32)
+    )
+    boxes_xyxy = boxes_yxyx[:, jnp.array([1, 0, 3, 2])]
+    keep = nms_ops.nms_mask(boxes_xyxy, top_scores, iou_threshold)
+
+    final = jnp.where(
+        keep & (top_scores >= det_threshold) & (top_scores > 0.0),
+        top_scores, 0.0,
+    )
+    sel_scores, sel = jax.lax.top_k(final, max_persons)
+    return boxes_yxyx[sel], sel_scores, sel_scores > 0.0
+
+
+def postprocess_prescored(
+    best_logit: jax.Array,      # [N] winning-class logit per anchor
+    best_class: jax.Array,      # [N] winning class (0-based int)
+    box_regs: jax.Array,        # [N, 4]
+    image_hw: tuple[int, int],
+    config: EfficientDetConfig = EFFICIENTDET_LITE4,
+    score_threshold: float = 0.0,
+    iou_threshold: float = 0.5,
+    top_k: int = 512,
+):
+    """`postprocess` for pre-reduced class scores (see EfficientDet's
+    `prescored` mode). Same reference-parity outputs."""
+    anchors = jnp.asarray(generate_anchors(config.anchors, *image_hw))
+    best_score = jax.nn.sigmoid(best_logit)
 
     boxes_yxyx = decode_boxes(box_regs, anchors)
     h, w = image_hw

@@ -128,8 +128,21 @@ class InferencePipeline:
             self.backend = YoloBackend(cfg, variant=detector)
             det_weights_real = det_vars is not None
         else:
+            # single-device TPU serving gets the fused Pallas head-score
+            # kernel (pallas_call has no SPMD partitioning rule, so mesh
+            # runs keep the plain XLA graph — same gating as the Pallas
+            # heatmap decode in pipeline/full.py)
+            use_score_kernel = (
+                mesh is None
+                and jax.local_devices()[0].platform == "tpu"
+            )
             self.backend = EfficientDetBackend(
-                EfficientDet(config=det_config), cfg
+                EfficientDet(
+                    config=det_config,
+                    score_kernel=use_score_kernel,
+                    person_class0=cfg.detector.person_class_id - 1,
+                ),
+                cfg,
             )
             det_weights_real = det_vars is not None
         # the reference always serves pretrained weights (README.md:13-26
