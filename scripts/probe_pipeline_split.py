@@ -30,7 +30,12 @@ def timed(fn, x, *rest):
         def body(i, acc):
             eps = (i % 2).astype(x.dtype)
             out = fn(x + eps, *rest)
-            return acc + jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))
+            # sum EVERY leaf: consuming only the first output leaf lets
+            # XLA dead-code-eliminate the stages feeding the others
+            # (this bug once produced a fictitious "617 imgs/s")
+            return acc + sum(
+                jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(out)
+            )
         return jax.lax.fori_loop(0, LOOP, body, 0.0)
 
     prog = jax.jit(looped)
