@@ -204,6 +204,150 @@ def import_torch_hrnet(
     return {"params": params, "batch_stats": stats}
 
 
+def _higherhrnet_head_pairs(
+    num_deconv_blocks: int = 4,
+) -> List[Tuple[Tuple[str, ...], str, str]]:
+    """ConvBN pairs for the deconv residual blocks of the official
+    PoseHigherResolutionNet (`deconv_layers.0.{1+i}.0.*` — each BasicBlock
+    sits inside its own nn.Sequential, hence the trailing `.0`)."""
+    pairs: List[Tuple[Tuple[str, ...], str, str]] = []
+    for i in range(num_deconv_blocks):
+        base = f"deconv_layers.0.{1 + i}.0"
+        for c in ("conv1", "conv2"):
+            pairs.append(
+                ((f"deconv_block{i}", c),
+                 f"{base}.{c}.weight", f"{base}.bn{c[-1]}")
+            )
+    return pairs
+
+
+def _deconv_to_flax(t: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, in, out) with spatial FLIP: torch's transposed conv is
+    the conv adjoint, while flax/lax conv_transpose keeps the kernel
+    unflipped — flip + 'SAME' padding reproduces torch k=4/s=2/p=1 exactly
+    (verified to float32 round-off in tests)."""
+    return np.ascontiguousarray(
+        np.transpose(t[:, :, ::-1, ::-1], (2, 3, 0, 1))
+    )
+
+
+def _deconv_to_torch(t: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(
+        np.transpose(t, (2, 3, 0, 1))[:, :, ::-1, ::-1]
+    )
+
+
+def import_torch_higherhrnet(
+    state_dict: Dict[str, np.ndarray],
+    flax_vars: Any,
+    config: HRNetConfig = HRNET_W32,
+    num_deconv_blocks: int = 4,
+    strict: bool = False,
+) -> Any:
+    """Map an official PoseHigherResolutionNet state_dict onto our
+    HigherHRNet tree: the trunk shares pose_hrnet naming (`_hrnet_pairs`),
+    plus `final_layers.{0,1}` -> head1/head2, the deconv transpose-conv +
+    BN, and the deconv residual blocks."""
+    params = jax.tree.map(np.asarray, flax_vars["params"])
+    stats = jax.tree.map(np.asarray, flax_vars["batch_stats"])
+    imported = 0
+    pairs = _hrnet_pairs(config) + _higherhrnet_head_pairs(num_deconv_blocks)
+    for path, conv_key, bn_prefix in pairs:
+        if conv_key not in state_dict:
+            if strict:
+                raise KeyError(conv_key)
+            continue
+        _get(params, path)["conv"]["kernel"] = _conv_to_flax(
+            state_dict[conv_key]
+        ).astype(np.float32)
+        bn_p = _get(params, path)["bn"]
+        bn_s = _get(stats, path)["bn"]
+        bn_p["scale"] = state_dict[f"{bn_prefix}.weight"].astype(np.float32)
+        bn_p["bias"] = state_dict[f"{bn_prefix}.bias"].astype(np.float32)
+        bn_s["mean"] = state_dict[f"{bn_prefix}.running_mean"].astype(
+            np.float32
+        )
+        bn_s["var"] = state_dict[f"{bn_prefix}.running_var"].astype(
+            np.float32
+        )
+        imported += 1
+    for torch_name, ours in (("final_layers.0", "head1"),
+                             ("final_layers.1", "head2")):
+        if f"{torch_name}.weight" in state_dict:
+            params[ours]["kernel"] = _conv_to_flax(
+                state_dict[f"{torch_name}.weight"]
+            ).astype(np.float32)
+            params[ours]["bias"] = state_dict[f"{torch_name}.bias"].astype(
+                np.float32
+            )
+            imported += 1
+    if "deconv_layers.0.0.0.weight" in state_dict:
+        params["deconv"]["kernel"] = _deconv_to_flax(
+            state_dict["deconv_layers.0.0.0.weight"]
+        ).astype(np.float32)
+        bn = "deconv_layers.0.0.1"
+        params["deconv_bn"]["scale"] = state_dict[f"{bn}.weight"].astype(
+            np.float32
+        )
+        params["deconv_bn"]["bias"] = state_dict[f"{bn}.bias"].astype(
+            np.float32
+        )
+        stats["deconv_bn"]["mean"] = state_dict[
+            f"{bn}.running_mean"
+        ].astype(np.float32)
+        stats["deconv_bn"]["var"] = state_dict[f"{bn}.running_var"].astype(
+            np.float32
+        )
+        imported += 1
+    if imported == 0:
+        raise ValueError("no tensors imported — wrong state_dict format?")
+    return {"params": params, "batch_stats": stats}
+
+
+def export_torch_higherhrnet(
+    flax_vars: Any,
+    config: HRNetConfig = HRNET_W32,
+    num_deconv_blocks: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_higherhrnet` (round-trip/forward-
+    equivalence validation; fine-tuned weights back to torch tooling)."""
+    params = flax_vars["params"]
+    stats = flax_vars["batch_stats"]
+    out: Dict[str, np.ndarray] = {}
+    pairs = _hrnet_pairs(config) + _higherhrnet_head_pairs(num_deconv_blocks)
+    for path, conv_key, bn_prefix in pairs:
+        out[conv_key] = _conv_to_torch(
+            np.asarray(_get(params, path)["conv"]["kernel"])
+        )
+        bn_p = _get(params, path)["bn"]
+        bn_s = _get(stats, path)["bn"]
+        out[f"{bn_prefix}.weight"] = np.asarray(bn_p["scale"])
+        out[f"{bn_prefix}.bias"] = np.asarray(bn_p["bias"])
+        out[f"{bn_prefix}.running_mean"] = np.asarray(bn_s["mean"])
+        out[f"{bn_prefix}.running_var"] = np.asarray(bn_s["var"])
+    for torch_name, ours in (("final_layers.0", "head1"),
+                             ("final_layers.1", "head2")):
+        out[f"{torch_name}.weight"] = _conv_to_torch(
+            np.asarray(params[ours]["kernel"])
+        )
+        out[f"{torch_name}.bias"] = np.asarray(params[ours]["bias"])
+    out["deconv_layers.0.0.0.weight"] = _deconv_to_torch(
+        np.asarray(params["deconv"]["kernel"])
+    )
+    out["deconv_layers.0.0.1.weight"] = np.asarray(
+        params["deconv_bn"]["scale"]
+    )
+    out["deconv_layers.0.0.1.bias"] = np.asarray(params["deconv_bn"]["bias"])
+    out["deconv_layers.0.0.1.running_mean"] = np.asarray(
+        stats["deconv_bn"]["mean"]
+    )
+    out["deconv_layers.0.0.1.running_var"] = np.asarray(
+        stats["deconv_bn"]["var"]
+    )
+    return out
+
+
 def export_torch_hrnet(
     flax_vars: Any, config: HRNetConfig = HRNET_W32
 ) -> Dict[str, np.ndarray]:

@@ -185,6 +185,57 @@ class TorchPoseHRNet(nn.Module):
 
 
 # --------------------------------------------------------------------- #
+# HigherHRNet (official pose_higher_hrnet naming: shared trunk +
+# final_layers ModuleList + deconv_layers)
+
+
+class TorchHigherHRNet(TorchPoseHRNet):
+    """Official PoseHigherResolutionNet graph + naming: the pose_hrnet
+    trunk (inherited) with the final_layer replaced by the two-head +
+    deconv structure (`final_layers.{0,1}`, `deconv_layers.0`)."""
+
+    def __init__(self, width=32, num_keypoints=17,
+                 stage_modules=(1, 4, 3), num_deconv_blocks=4):
+        super().__init__(width, num_keypoints, stage_modules)
+        del self.final_layer
+        w, k = width, num_keypoints
+        self.final_layers = nn.ModuleList([
+            nn.Conv2d(w, 2 * k, 1),           # heatmaps + AE tags @ 1/4
+            nn.Conv2d(w, k, 1),               # heatmaps @ 1/2
+        ])
+        deconv = [nn.Sequential(
+            nn.ConvTranspose2d(w + 2 * k, w, 4, stride=2, padding=1,
+                               bias=False),
+            nn.BatchNorm2d(w),
+            nn.ReLU(inplace=True),
+        )]
+        for _ in range(num_deconv_blocks):
+            deconv.append(nn.Sequential(TorchBasicBlock(w)))
+        self.deconv_layers = nn.ModuleList([nn.Sequential(*deconv)])
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.relu(self.bn2(self.conv2(x)))
+        x = self.layer1(x)
+        xs = [x]
+        for si in range(3):
+            trans = getattr(self, f"transition{si + 1}")
+            chans = self._stage_channels[si]
+            nxt = []
+            for i in range(len(chans)):
+                src = xs[i] if i < len(xs) else xs[-1]
+                nxt.append(trans[i](src))
+            xs = nxt
+            for mod in getattr(self, f"stage{si + 2}"):
+                xs = mod(xs)
+        feat = xs[0]
+        out1 = self.final_layers[0](feat)
+        d = self.deconv_layers[0](torch.cat([feat, out1], dim=1))
+        out2 = self.final_layers[1](d)
+        return out1, out2
+
+
+# --------------------------------------------------------------------- #
 # yolov5 v6.0 (ultralytics naming: model.{i}.*)
 
 
