@@ -44,6 +44,11 @@ def main(argv=None):
                         choices=["yolov5s", "yolov5m", "yolov5l"])
     parser.add_argument("--hrnet-torch", default=None,
                         help="pose_hrnet .pth state_dict")
+    parser.add_argument("--higherhrnet-torch", default=None,
+                        help="official pose_higher_hrnet .pth state_dict; "
+                             "fills the pose slot with HigherHRNet for the "
+                             "bottom-up server mode (--bottom-up "
+                             "--checkpoint-dir)")
     parser.add_argument("--pose-name", default="hrnet_w32",
                         choices=["hrnet_w32", "hrnet_w48"])
     parser.add_argument("--out", required=True,
@@ -90,12 +95,22 @@ def main(argv=None):
                 jnp.zeros((1, cfg.detector.input_height,
                            cfg.detector.input_width, 3), jnp.float32),
             )
-        pose_model = create_hrnet(args.pose_name)
-        pose_vars = pose_model.init(
-            rng,
-            jnp.zeros((1, cfg.pose.crop_height, cfg.pose.crop_width, 3),
-                      jnp.float32),
-        )
+        if args.higherhrnet_torch:
+            from human_body_proportion_estimation_tpu.models.higherhrnet import (
+                HigherHRNet,
+            )
+
+            pose_model = HigherHRNet()
+            pose_vars = pose_model.init(
+                rng, jnp.zeros((1, 512, 512, 3), jnp.float32)
+            )
+        else:
+            pose_model = create_hrnet(args.pose_name)
+            pose_vars = pose_model.init(
+                rng,
+                jnp.zeros((1, cfg.pose.crop_height, cfg.pose.crop_width, 3),
+                          jnp.float32),
+            )
 
     if args.yolo_torch:
         import torch
@@ -135,7 +150,16 @@ def main(argv=None):
         print("WARNING: no EfficientDet source given — detector slot stays "
               "random-init")
 
-    if args.hrnet_torch:
+    if args.higherhrnet_torch:
+        import torch
+
+        state = torch.load(args.higherhrnet_torch, map_location="cpu")
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        state_np = {k: v.numpy() for k, v in state.items()}
+        pose_vars = W.import_torch_higherhrnet(state_np, pose_vars)
+        print(f"imported HigherHRNet ({len(state_np)} torch tensors)")
+    elif args.hrnet_torch:
         import torch
 
         state = torch.load(args.hrnet_torch, map_location="cpu")
