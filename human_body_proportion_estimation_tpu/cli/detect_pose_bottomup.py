@@ -57,17 +57,20 @@ def run_bottomup(
             return
         out = pipe.infer_images(batch, person_heights=person_height)
         for i in range(len(batch)):
-            valid = out.person_valid[i]
-            nper = int(valid.sum())
-            entry: List[Any] = [out.boxes_orig[i][:nper]]
-            for slot in range(nper):
+            # bottom-up valid slots are NOT prefix-ordered (a slot is
+            # cleared when its group has <2 visible joints, leaving
+            # gaps) — unlike top-down select_persons, which top_k-sorts
+            valid_slots = [s for s in range(out.person_valid.shape[1])
+                           if out.person_valid[i, s]]
+            entry: List[Any] = [out.boxes_orig[i][valid_slots]]
+            for slot in valid_slots:
                 entry.append(prop_ops.to_dist_dict(
                     out.lengths_cm[i, slot], out.seg_visible[i, slot]
                 ))
             results.append(entry)
             if save_dir is not None:
                 frame = batch[i].copy()
-                for slot in range(nper):
+                for slot in valid_slots:
                     color = PERSON_COLORS[slot % 2]
                     y1, x1, y2, x2 = out.boxes_orig[i, slot]
                     draw.draw_box(frame, [x1, y1, x2, y2], color=color)

@@ -144,28 +144,6 @@ class BiFPNLayer(nn.Module):
         return out
 
 
-class _ConvParams(nn.Module):
-    """Parameter-only stand-in for a 1x1 nn.Conv: declares the SAME
-    variable tree (kernel [1, 1, in, out], bias [out], same initializers)
-    so a checkpoint loads identically, but returns the raw tensors for a
-    fused Pallas consumer instead of running the conv."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (1, 1, self.in_features, self.features), jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros_init(),
-            (self.features,), jnp.float32,
-        )
-        return kernel, bias
-
-
 class HeadNet(nn.Module):
     """Class/box head: repeated separable convs with weights SHARED across
     pyramid levels but BatchNorm statistics per level (official EfficientDet
@@ -210,8 +188,16 @@ class HeadNet(nn.Module):
                 param_dtype=self.param_dtype, name="predict_pw",
             )
         else:
+            from human_body_proportion_estimation_tpu.models.layers import (
+                _ConvParams,
+            )
+
+            # parameter-only stand-in with nn.Conv's exact tree
+            # ({'kernel' [1,1,in,out], 'bias'}) so checkpoints load
+            # identically; the fused Pallas consumer gets raw tensors
             predict_params = _ConvParams(
-                self.out_channels, self.features, name="predict_pw"
+                (1, 1, self.features, self.out_channels),
+                use_bias=True, name="predict_pw",
             )
 
         outs = []

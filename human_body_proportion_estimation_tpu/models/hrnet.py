@@ -171,10 +171,10 @@ class Transition(nn.Module):
     out_channels: Sequence[int]
     dtype: Any
     param_dtype: Any
-    # branch-0 packing state of the INPUT tensor; when True-out/False-in
-    # (stage-2 transition) the adapt conv becomes the packed-domain
-    # producer (4x4 stride-2 kernel emitting the packed branch directly)
-    packed_branch0_in: bool = False
+    # when packing branch 0, the only adapt conv that can exist on branch
+    # 0 is the stage-2 transition's 256->W (unpacked input): it becomes
+    # the packed-domain producer (4x4 stride-2 kernel emitting packed
+    # directly); later transitions never change branch-0 channels
     packed_branch0_out: bool = False
 
     @nn.compact
@@ -184,12 +184,9 @@ class Transition(nn.Module):
             if i < len(self.in_channels):
                 if self.in_channels[i] != ch:
                     if i == 0 and self.packed_branch0_out:
-                        mode = (
-                            "inner" if self.packed_branch0_in else "producer"
-                        )
                         outs.append(
                             PackedConvBN(
-                                ch, mode, dtype=self.dtype,
+                                ch, "producer", dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name=f"adapt_{i}")(xs[i], train)
                         )
@@ -249,7 +246,6 @@ class HRNet(nn.Module):
         ):
             xs = Transition(
                 prev_channels, channels,
-                packed_branch0_in=packed and stage_idx > 0,
                 packed_branch0_out=packed,
                 name=f"transition{stage_idx + 2}", **dt
             )(xs, train)

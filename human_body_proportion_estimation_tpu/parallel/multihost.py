@@ -95,12 +95,13 @@ class MultiHostServing:
     """
 
     def __init__(self, mesh: Mesh, program: Callable, det_vars: Any,
-                 pose_vars: Any, max_batch: int):
+                 pose_vars: Any, max_batch: int, max_persons: int = 3):
         from jax.experimental import multihost_utils
 
         self._mh = multihost_utils
         self.mesh = mesh
         self.max_batch = max_batch
+        self.max_persons = max_persons
         self.det_vars = replicate_to_global(det_vars, mesh)
         self.pose_vars = replicate_to_global(pose_vars, mesh)
         self._data = NamedSharding(mesh, P("data"))
@@ -186,7 +187,7 @@ class MultiHostServing:
             self.step(
                 np.zeros((b, h, w, 3), np.uint8),
                 np.zeros((b,), np.float32),
-                np.zeros((b, 3), np.float32),
+                np.zeros((b, self.max_persons), np.float32),
                 np.ones((b, 2), np.float32),
             )
 
@@ -243,5 +244,6 @@ def make_multihost_pipeline(
         pipe.det_vars,
         pipe.pose_vars,
         max_batch=pipe.config.serve.max_batch,
+        max_persons=pipe.config.detector.max_persons,
     )
     return pipe, serving

@@ -64,13 +64,21 @@ class BottomUpPipeline:
         tag_threshold: float = 1.0,
         score_threshold: float = 0.1,
         rng_seed: int = 0,
+        mesh=None,
+        dtype=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — serving
+        batches are then sharded over it with replicated params, the same
+        dp scaling as InferencePipeline(mesh=...). `dtype`: compute dtype
+        override (default bf16; f32 for numerics-sensitive comparisons)."""
         self.config = config or PipelineConfig()
         self.max_people = max_people or self.config.detector.max_persons
         self.max_cands = max_cands
         self.tag_threshold = tag_threshold
         self.score_threshold = score_threshold
-        self.model = HigherHRNet()
+        self.model = (
+            HigherHRNet() if dtype is None else HigherHRNet(dtype=dtype)
+        )
         pose_vars_given = pose_vars is not None
         if pose_vars is None:
             cpu = jax.local_devices(backend="cpu")[0]
@@ -79,7 +87,19 @@ class BottomUpPipeline:
                     jax.random.PRNGKey(rng_seed),
                     jnp.zeros((1, *self.INPUT_HW, 3), jnp.float32),
                 )
-        self.pose_vars = jax.device_put(pose_vars, jax.local_devices()[0])
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.pose_vars = jax.device_put(
+                pose_vars, NamedSharding(mesh, P())
+            )
+            self._data_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self.pose_vars = jax.device_put(
+                pose_vars, jax.local_devices()[0]
+            )
+            self._data_sharding = None
         self._program = None
         self._serving = None
         # serving-edge integration (mirrors InferencePipeline's contract):
@@ -216,11 +236,28 @@ class BottomUpPipeline:
             jax.block_until_ready(dev_batch)
         with stage("device_compute_readback"):
             if self._serving is None:
-                self._serving = jax.jit(self.forward_serving)
+                self._serving = jax.jit(
+                    self.forward_serving, **self._jit_kwargs()
+                )
             packed = np.asarray(
                 self._serving(self.pose_vars, dev_batch, *dev_args)
             )
         return packed[:n]
+
+    def _jit_kwargs(self):
+        if self.mesh is None:
+            return {}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        return {
+            "in_shardings": (
+                jax.tree.map(lambda _: rep, self.pose_vars),
+                NamedSharding(self.mesh, P("data", None, None, None)),
+                NamedSharding(self.mesh, P("data", None)),
+                NamedSharding(self.mesh, P("data", None)),
+            ),
+        }
 
     def _prepare(self, images_rgb, person_heights):
         from human_body_proportion_estimation_tpu.pipeline.host import (
@@ -230,6 +267,9 @@ class BottomUpPipeline:
 
         n = len(images_rgb)
         b = _pad_batch(n, self.config.serve.max_batch)
+        if self.mesh is not None:
+            dp = self.mesh.shape["data"]
+            b = -(-max(b, dp) // dp) * dp  # data-shard multiple
         h, w = self.INPUT_HW
         p = self.max_people
         batch = np.zeros((b, h, w, 3), np.uint8)

@@ -168,7 +168,10 @@ class NativeBatcher:
                     )
             except Exception as e:  # noqa: BLE001
                 error = e
-                self._failures += len(items)
+                # pipelined batches fail from separate pool threads; the
+                # unguarded += would lose increments
+                with self._pending_lock:
+                    self._failures += len(items)
             # record metrics BEFORE waking waiters so a caller reading
             # /metrics right after result() sees its own completion
             done = time.perf_counter()

@@ -343,7 +343,14 @@ def main(argv=None):
             _, pose_vars = weights.load_pipeline_checkpoint(
                 args.checkpoint_dir
             )
-        pipeline = BottomUpPipeline(pose_vars=pose_vars)
+        mesh = None
+        if args.data_parallel > 1:
+            from human_body_proportion_estimation_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            mesh = make_mesh(args.data_parallel)
+        pipeline = BottomUpPipeline(pose_vars=pose_vars, mesh=mesh)
         if pipeline.weights_origin["pose"] == "random":
             print(
                 "WARNING: serving RANDOM-INIT HigherHRNet — outputs are "
@@ -369,6 +376,11 @@ def main(argv=None):
         det_vars, pose_vars = weights.load_pipeline_checkpoint(
             args.checkpoint_dir
         )
+        if args.detector == "ssd_mobilenet":
+            # SSD loads its own real weights (reference ssd.tflite); the
+            # checkpoint's detector slot is EfficientDet/YOLO-shaped and
+            # would crash SSDBackend — use only the pose side
+            det_vars = None
     mesh = None
     if args.data_parallel > 1:
         from human_body_proportion_estimation_tpu.parallel.mesh import (

@@ -1,12 +1,11 @@
 """Honest per-stage + end-to-end timing of the fused pipeline at batch 32.
 
-Fixes the probe_pipeline_split.py flaw: the accumulator there summed only
-the FIRST output leaf, so for the full pipeline XLA dead-code-eliminated
-the pose/decode stages and the "FULL fused" number measured detection
-only. Here every leaf is summed, so nothing is eliminated.
-
-Compares the vmap(batch-1) detection path against the batch-native
-`batch_call` path both standalone and inside the full fused program.
+All output leaves are summed so XLA cannot dead-code-eliminate any stage
+(probe_pipeline_split.py's original first-leaf accumulator produced
+fictitious numbers). The batch-native `batch_call` detector experiment
+this script once compared was measured ≈ equal to vmap(batch-1) end to
+end and REMOVED (it also broke CPU-mesh bit-identity certification; see
+BENCHMARKS.md) — only the surviving vmap path is probed here.
 """
 
 import functools
@@ -56,14 +55,14 @@ def main():
     orig_hw = jnp.full((B, 2), 640.0, jnp.float32)
     images_f32 = images.astype(jnp.float32)
 
-    det_vmap = jax.vmap(functools.partial(pipe.backend, pipe.det_vars))
-    print(json.dumps({"stage": "det vmap(batch-1)+person slots",
-                      "ms": round(timed(det_vmap, images_f32, thresholds), 2)}),
+    det = jax.vmap(functools.partial(pipe.backend, pipe.det_vars))
+    print(json.dumps({"stage": "det fwd+post+slots b32",
+                      "ms": round(timed(det, images_f32, thresholds), 2)}),
           flush=True)
 
-    det_native = functools.partial(pipe.backend.batch_call, pipe.det_vars)
-    print(json.dumps({"stage": "det batch_call+person slots",
-                      "ms": round(timed(det_native, images_f32, thresholds), 2)}),
+    crops = jnp.asarray(rng.random((B * 3, 384, 288, 3)), jnp.float32)
+    ms = timed(lambda c: pipe.pose.apply(pipe.pose_vars, c), crops)
+    print(json.dumps({"stage": "pose fwd 96 crops", "ms": round(ms, 2)}),
           flush=True)
 
     def full(im, v, p):
@@ -72,23 +71,8 @@ def main():
         return out.lengths_cm, out.keypoints
 
     ms = timed(full, images_f32, pipe.det_vars, pipe.pose_vars)
-    print(json.dumps({"stage": "FULL fused (batch_call)", "ms": round(ms, 2),
+    print(json.dumps({"stage": "FULL fused b32", "ms": round(ms, 2),
                       "imgs_per_sec": round(B / ms * 1e3, 1)}), flush=True)
-
-    pipe.fused.detector_backend = _NoBatch(pipe.backend)
-    ms = timed(full, images_f32, pipe.det_vars, pipe.pose_vars)
-    print(json.dumps({"stage": "FULL fused (vmap det)", "ms": round(ms, 2),
-                      "imgs_per_sec": round(B / ms * 1e3, 1)}), flush=True)
-
-
-class _NoBatch:
-    """Wrapper hiding batch_call so full.py takes the vmap branch."""
-
-    def __init__(self, backend):
-        self._b = backend
-
-    def __call__(self, det_vars, image_f32, det_threshold):
-        return self._b(det_vars, image_f32, det_threshold)
 
 
 if __name__ == "__main__":

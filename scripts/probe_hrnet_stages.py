@@ -48,7 +48,7 @@ class Trunc(HRNet):
             zip(cfg.stage_modules, cfg.branch_channels)
         ):
             xs = Transition(
-                prev, channels, packed_branch0_in=packed and si > 0,
+                prev, channels,
                 packed_branch0_out=packed, name=f"transition{si + 2}", **dt
             )(xs, train)
             for m in range(n_modules):
