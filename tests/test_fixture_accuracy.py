@@ -93,3 +93,36 @@ def test_two_people_detects_two(real_pipeline):
     img = cv2.imread("/root/reference/media/imgs/two people.jpg")[..., ::-1]
     out = real_pipeline.infer_images([img], 175.0, det_threshold=0.7)
     assert int(np.asarray(out.person_valid[0]).sum()) == 2
+
+
+# ---- bottom-up variant (beyond reference): activates when a HigherHRNet
+# checkpoint is supplied via HBPE_BOTTOMUP_CHECKPOINT_DIR
+# (cli.import_weights --higherhrnet-torch ... --out <dir>) ----
+
+BU_CKPT_DIR = os.environ.get("HBPE_BOTTOMUP_CHECKPOINT_DIR")
+
+
+@pytest.mark.skipif(
+    not BU_CKPT_DIR,
+    reason="needs real HigherHRNet weights: set "
+           "HBPE_BOTTOMUP_CHECKPOINT_DIR to a cli.import_weights "
+           "--higherhrnet-torch output dir",
+)
+def test_bottomup_two_people_groups_two():
+    import cv2
+
+    from human_body_proportion_estimation_tpu.models import weights as W
+    from human_body_proportion_estimation_tpu.pipeline.bottomup import (
+        BottomUpPipeline,
+    )
+
+    _, pose_vars = W.load_pipeline_checkpoint(BU_CKPT_DIR)
+    pipe = BottomUpPipeline(pose_vars=pose_vars)
+    assert pipe.weights_origin == {"pose": "real"}
+    img = cv2.imread("/root/reference/media/imgs/two people.jpg")[..., ::-1]
+    out = pipe.infer_images([img], person_heights=175.0)
+    assert int(np.asarray(out.person_valid[0]).sum()) == 2
+    # both grouped persons must have most keypoints visible
+    for slot in range(3):
+        if out.person_valid[0, slot]:
+            assert int(out.kp_visible[0, slot].sum()) >= 10
