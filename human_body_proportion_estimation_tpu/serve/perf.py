@@ -1,16 +1,19 @@
-"""perf_analyzer-equivalent load generator for the HTTP service.
+"""perf_analyzer-equivalent load generator for the serving edges.
 
 The reference benchmarks with Triton's closed-source `perf_analyzer` binary
 (README :82-87): gRPC, batch 1, concurrency sweep 5:20:5, p95 latency on
-random inputs. This module reproduces that method against our HTTP edge:
-for each concurrency level C it keeps C in-flight multipart requests
-looping for a measurement window and reports throughput + latency
-percentiles — producing the comparison table the reference never shipped
-(BASELINE.md).
+random inputs. This module reproduces that method against our edges — the
+HTTP multipart route or, with `--grpc`, the protobuf gRPC endpoint (the
+transport perf_analyzer itself uses): for each concurrency level C it
+keeps C in-flight requests looping for a measurement window and reports
+throughput + latency percentiles — producing the comparison table the
+reference never shipped (BASELINE.md).
 
 Usage:
     python -m human_body_proportion_estimation_tpu.serve.perf \
         --url http://127.0.0.1:8080 --concurrency 5:20:5 --seconds 10
+    python -m human_body_proportion_estimation_tpu.serve.perf \
+        --grpc 127.0.0.1:8081 --concurrency 5:20:5
 """
 
 from __future__ import annotations
@@ -106,6 +109,75 @@ def run_level(
     }
 
 
+def run_grpc_level(target: str, concurrency: int, seconds: float,
+                   image: bytes) -> Dict:
+    """One concurrency level over the gRPC edge (GrpcClient per worker,
+    mirroring perf_analyzer's per-connection concurrency)."""
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+    )
+
+    latencies: List[float] = []
+    errors = [0]
+    stop = time.perf_counter() + seconds
+    lock = threading.Lock()
+
+    def worker():
+        client = GrpcClient(target)
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                resp = client.estimate(image)
+                ok = resp.get("code") in ("success", "failed")
+            except Exception:
+                ok = False
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+                if not ok:
+                    errors[0] += 1
+
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    return {
+        "transport": "grpc",
+        "concurrency": concurrency,
+        "requests": len(latencies),
+        "errors": errors[0],
+        "throughput_rps": len(latencies) / wall,
+        "latency_ms_p50": 1e3 * _pct(latencies, 50),
+        "latency_ms_p95": 1e3 * _pct(latencies, 95),
+        "latency_ms_p99": 1e3 * _pct(latencies, 99),
+    }
+
+
+def run_grpc_sweep(
+    target: str, concurrency_spec: str = "5:20:5", seconds: float = 10.0,
+    warmup_requests: int = 3, input_hw=(300, 300),
+) -> List[Dict]:
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+    )
+
+    image = _random_jpeg(input_hw)
+    client = GrpcClient(target)
+    for _ in range(warmup_requests):
+        client.estimate(image)
+
+    lo, hi, step = (int(x) for x in concurrency_spec.split(":"))
+    results = []
+    for c in range(lo, hi + 1, step):
+        r = run_grpc_level(target, c, seconds, image)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def run_sweep(
     url: str, concurrency_spec: str = "5:20:5", seconds: float = 10.0,
     warmup_requests: int = 3, input_hw=(300, 300),
@@ -142,8 +214,14 @@ def main():
     parser.add_argument("--concurrency", default="5:20:5",
                         help="lo:hi:step (reference perf_analyzer sweep)")
     parser.add_argument("--seconds", type=float, default=10.0)
+    parser.add_argument("--grpc", default=None, metavar="HOST:PORT",
+                        help="sweep the gRPC edge instead of HTTP "
+                             "(perf_analyzer's own transport)")
     args = parser.parse_args()
-    run_sweep(args.url, args.concurrency, args.seconds)
+    if args.grpc:
+        run_grpc_sweep(args.grpc, args.concurrency, args.seconds)
+    else:
+        run_sweep(args.url, args.concurrency, args.seconds)
 
 
 if __name__ == "__main__":
