@@ -53,3 +53,56 @@ def test_sweep_produces_levels(tiny_server):
         assert r["errors"] == 0
         assert r["latency_ms_p95"] >= r["latency_ms_p50"] > 0
         assert r["throughput_rps"] > 0
+
+
+def test_grpc_sweep_produces_levels(tiny_server_with_grpc):
+    from human_body_proportion_estimation_tpu.serve.perf import (
+        run_grpc_sweep,
+    )
+
+    results = run_grpc_sweep(
+        f"127.0.0.1:{tiny_server_with_grpc}", "1:2:1", seconds=2.0,
+        warmup_requests=1, input_hw=(64, 64),
+    )
+    assert [r["concurrency"] for r in results] == [1, 2]
+    assert all(r["transport"] == "grpc" for r in results)
+    assert all(r["errors"] == 0 for r in results)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def tiny_server_with_grpc():
+    import threading
+
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        create_grpc_server,
+    )
+    from human_body_proportion_estimation_tpu.serve.server import ServingApp
+    from human_body_proportion_estimation_tpu.utils.config import (
+        DetectorConfig,
+        PipelineConfig,
+        PoseConfig,
+        ServeConfig,
+    )
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(input_height=128, input_width=128),
+        pose=PoseConfig(crop_height=64, crop_width=64,
+                        heatmap_height=16, heatmap_width=16),
+        serve=ServeConfig(max_batch=4, batch_timeout_ms=3),
+    )
+    app = ServingApp(InferencePipeline(config=cfg,
+                                       det_config=EFFICIENTDET_LITE0))
+    server, port = create_grpc_server(app, "127.0.0.1", 0)
+    server.start()
+    yield port
+    server.stop(0)
+    app.shutdown()
