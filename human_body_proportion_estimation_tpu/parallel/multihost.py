@@ -26,6 +26,15 @@ On a real TPU pod slice `jax.distributed.initialize()` needs no arguments
 (the TPU runtime provides coordination); on CPU/testing the coordinator
 address + process ids are explicit. The CPU path is exercised end-to-end
 by tests/test_multihost_serving.py with 2 processes x 4 virtual devices.
+
+Failure model: lockstep SPMD has the standard multi-controller contract —
+if any process dies mid-collective, the remaining processes' next
+collective fails or times out via the jax.distributed runtime's own
+health checking (missed-heartbeat detection terminates the job); this
+module adds no additional recovery. For elastic serving, run independent
+single-host replicas behind an external load balancer instead and keep
+the global mesh for throughput scaling of one logical model — the same
+tradeoff Triton makes (one server process per replica, SURVEY §2.3).
 """
 
 from __future__ import annotations
