@@ -72,6 +72,12 @@ def export_serving_artifact(
         "pose_crop_hw": [cfg.pose.crop_height, cfg.pose.crop_width],
         "packed_layout": "valid | lengths_cm[11] | seg_visible[11]",
         "config": dataclasses.asdict(cfg),
+        # real|random per model slot, propagated so a server loading the
+        # artifact can keep the random-weight guardrail honest
+        "weights_origin": dict(
+            getattr(pipeline, "weights_origin",
+                    {"detector": "unknown", "pose": "unknown"})
+        ),
     }
     with open(os.path.join(directory, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -108,3 +114,73 @@ class ServingArtifact:
             jnp.asarray(orig_hw, jnp.float32),
         )
         return np.asarray(out)
+
+
+class ArtifactPipeline:
+    """Serve directly from an exported artifact directory.
+
+    The load-side half of the Triton model-repository analog: where the
+    reference's server points Triton at `/cv_root/models` and serves
+    whatever blobs + config.pbtxt it finds (README.md:47-80), this object
+    restores the StableHLO program + orbax weights + config written by
+    `export_serving_artifact` and presents the `InferencePipeline` serving
+    surface (`infer_serving` / `config` / `weights_origin` / `stages`), so
+    `serve.server --artifact-dir <dir>` runs WITHOUT the model-building
+    Python code ever tracing a model.
+
+    The exported program has one fixed batch size; requests are padded (and
+    oversize batches chunked) to it, unlike the live pipeline's power-of-2
+    buckets.
+    """
+
+    def __init__(self, directory: str):
+        from human_body_proportion_estimation_tpu.utils.config import (
+            config_from_dict,
+        )
+
+        self.artifact = ServingArtifact(directory)
+        self.config = config_from_dict(self.artifact.meta["config"])
+        self.weights_origin = dict(
+            self.artifact.meta.get(
+                "weights_origin",
+                {"detector": "unknown", "pose": "unknown"},
+            )
+        )
+        self.stages = None  # ServingApp attaches a StageTimer
+        self.mesh = None
+
+    def infer_serving(
+        self,
+        images_rgb,
+        person_heights=175.0,
+        det_threshold: float | list = 0.70,
+    ) -> np.ndarray:
+        """Packed [n, P, 23] rows, same contract as
+        `InferencePipeline.infer_serving`."""
+        import contextlib
+
+        from human_body_proportion_estimation_tpu.pipeline import host
+
+        stage = self.stages.stage if self.stages is not None else (
+            lambda _name: contextlib.nullcontext()
+        )
+        b = self.artifact.batch_size
+        rows = []
+        for start in range(0, len(images_rgb), b):
+            chunk = images_rgb[start:start + b]
+
+            def per_chunk(v):
+                if np.isscalar(v):
+                    return v
+                return v[start:start + b]
+
+            with stage("host_prepare"):
+                batch, thresholds, heights, orig_hw, n = host.prepare_batch(
+                    self.config, chunk, per_chunk(person_heights),
+                    per_chunk(det_threshold), b,
+                )
+            with stage("device_compute_readback"):
+                rows.append(self.artifact(
+                    batch, thresholds, heights, orig_hw
+                )[:n])
+        return np.concatenate(rows, axis=0)

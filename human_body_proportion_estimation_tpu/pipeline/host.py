@@ -80,6 +80,47 @@ def _pad_batch(n: int, max_batch: int) -> int:
     return min(max(b, 1), max(max_batch, n))
 
 
+def prepare_batch(cfg, images_rgb, person_heights, det_threshold, b: int):
+    """Host-side batch assembly to a FIXED batch size `b`.
+
+    Resizes each image to the detector input, records its original (h, w),
+    and broadcasts per-request heights/thresholds into padded arrays.
+    `person_heights`: scalar (all images), or per-image scalars/lists
+    (`FLAGS.p_height[min(i, len-1)]` semantics, reference driver :167).
+    Returns (batch u8 [b,H,W,3], thresholds f32 [b], heights f32 [b,P],
+    orig_hw f32 [b,2], n).
+    """
+    n = len(images_rgb)
+    if n > b:
+        raise ValueError(f"{n} images exceed fixed batch size {b}")
+    p = cfg.detector.max_persons
+    h, w = cfg.detector.input_height, cfg.detector.input_width
+
+    batch = np.zeros((b, h, w, 3), np.uint8)
+    orig_hw = np.ones((b, 2), np.float32)
+    heights = np.full((b, p), 175.0, np.float32)
+    thresholds = np.full(
+        (b,),
+        det_threshold if np.isscalar(det_threshold) else 1.0,
+        np.float32,
+    )
+    for i, img in enumerate(images_rgb):
+        if not np.isscalar(det_threshold):
+            thresholds[i] = float(det_threshold[i])
+        batch[i] = resize_for_detector(img, w, h)
+        orig_hw[i] = img.shape[:2]
+        hi = person_heights
+        if np.isscalar(hi):
+            heights[i, :] = float(hi)
+        else:
+            per_img = hi[i] if isinstance(hi[i], (list, tuple)) else hi
+            for slot in range(p):
+                heights[i, slot] = float(
+                    per_img[min(slot, len(per_img) - 1)]
+                )
+    return batch, thresholds, heights, orig_hw, n
+
+
 class InferencePipeline:
     """Owns model params + jitted programs; the in-process "model server".
 
@@ -332,32 +373,7 @@ class InferencePipeline:
             dp = self.mesh.shape["data"]
             b = max(b, dp)
             b = -(-b // dp) * dp  # round up to a data-shard multiple
-        p = cfg.detector.max_persons
-        h, w = cfg.detector.input_height, cfg.detector.input_width
-
-        batch = np.zeros((b, h, w, 3), np.uint8)
-        orig_hw = np.ones((b, 2), np.float32)
-        heights = np.full((b, p), 175.0, np.float32)
-        thresholds = np.full(
-            (b,),
-            det_threshold if np.isscalar(det_threshold) else 1.0,
-            np.float32,
-        )
-        for i, img in enumerate(images_rgb):
-            if not np.isscalar(det_threshold):
-                thresholds[i] = float(det_threshold[i])
-            batch[i] = resize_for_detector(img, w, h)
-            orig_hw[i] = img.shape[:2]
-            hi = person_heights
-            if np.isscalar(hi):
-                heights[i, :] = float(hi)
-            else:
-                per_img = hi[i] if isinstance(hi[i], (list, tuple)) else hi
-                for slot in range(p):
-                    heights[i, slot] = float(
-                        per_img[min(slot, len(per_img) - 1)]
-                    )
-        return batch, thresholds, heights, orig_hw, n
+        return prepare_batch(cfg, images_rgb, person_heights, det_threshold, b)
 
     # ------------------------------------------------------------------ #
 

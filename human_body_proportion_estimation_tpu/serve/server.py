@@ -316,6 +316,15 @@ def main(argv=None):
     )
     parser.add_argument("--checkpoint-dir", default=None,
                         help="orbax checkpoint dir with det/pose params")
+    parser.add_argument(
+        "--artifact-dir", default=None,
+        help="serve from an exported artifact directory (StableHLO fused "
+             "program + orbax weights + meta.json, see pipeline/export.py "
+             "and the export-artifact CLI) instead of building models — "
+             "the Triton model-repository load path (reference README "
+             ":47-80). Overrides --detector/--checkpoint-dir/"
+             "--data-parallel",
+    )
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard serving batches over N chips "
                              "(0 = single device)")
@@ -328,6 +337,22 @@ def main(argv=None):
              "score threshold fixed at startup, not per request",
     )
     args = parser.parse_args(argv)
+
+    if args.artifact_dir:
+        from human_body_proportion_estimation_tpu.pipeline.export import (
+            ArtifactPipeline,
+        )
+
+        pipeline = ArtifactPipeline(args.artifact_dir)
+        if "real" not in pipeline.weights_origin.values():
+            print(
+                "WARNING: artifact carries no real-weight slot "
+                f"({pipeline.weights_origin}) — outputs are garbage "
+                "(see /health 'weights')",
+                flush=True,
+            )
+        _serve(args, pipeline, detector_name="artifact")
+        return
 
     if args.bottom_up:
         from human_body_proportion_estimation_tpu.pipeline.bottomup import (

@@ -97,3 +97,35 @@ class PipelineConfig:
     @property
     def x_expand(self) -> int:
         return self.detector.input_width // self.bbox_x_expand_divisor
+
+
+def config_from_dict(d: dict) -> PipelineConfig:
+    """Rebuild the frozen config tree from `dataclasses.asdict` output.
+
+    Used to restore a serving artifact's exact configuration from its
+    `meta.json` (pipeline/export.py) without the model-building code —
+    the analog of Triton reading a model repo's `config.pbtxt`
+    (reference README.md:71-80). Unknown keys (from a newer writer) are
+    dropped; JSON lists become the tuples the dataclasses expect.
+    """
+    def build(cls, sub: dict):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in sub.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    return PipelineConfig(
+        detector=build(DetectorConfig, d.get("detector", {})),
+        pose=build(PoseConfig, d.get("pose", {})),
+        serve=build(ServeConfig, d.get("serve", {})),
+        **{
+            k: v
+            for k, v in d.items()
+            if k in ("bbox_x_expand_divisor", "compute_dtype", "param_dtype")
+        },
+    )

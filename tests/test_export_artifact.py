@@ -50,3 +50,73 @@ def test_export_restore_run_matches_live(tiny_pipeline, tmp_path, rng):
     )
     restored = art(batch, thresholds, heights, orig_hw)
     np.testing.assert_allclose(restored[:2], live, rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tiny_pipeline, tmp_path_factory):
+    return export_serving_artifact(
+        tiny_pipeline,
+        str(tmp_path_factory.mktemp("artifact") / "repo"),
+        batch_size=2,
+    )
+
+
+def test_artifact_pipeline_chunks_oversize_batches(artifact_dir, rng):
+    """5 images through a batch-2 artifact: chunked 2+2+1, identical rows
+    for identical inputs regardless of which chunk they land in."""
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+    )
+
+    pipe = ArtifactPipeline(artifact_dir)
+    assert pipe.config.detector.input_height == 128  # restored from meta
+    img = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    out = pipe.infer_serving([img] * 5, person_heights=175.0,
+                             det_threshold=0.0)
+    assert out.shape[0] == 5
+    for i in range(1, 5):
+        np.testing.assert_array_equal(out[i], out[0])
+
+    # per-request forms also line up across chunk boundaries
+    out2 = pipe.infer_serving(
+        [img] * 3,
+        person_heights=[[150.0], [175.0], [150.0]],
+        det_threshold=[0.0, 0.0, 0.0],
+    )
+    np.testing.assert_array_equal(out2[0], out2[2])
+
+
+def test_serving_app_on_artifact(artifact_dir, rng):
+    """The HTTP edge serves from a restored artifact with no model code:
+    the --artifact-dir path (Triton model-repository load analog)."""
+    import cv2
+
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.server import ServingApp
+
+    pipe = ArtifactPipeline(artifact_dir)
+    assert pipe.weights_origin == {"detector": "random", "pose": "random"}
+    app = ServingApp(pipe)
+    try:
+        img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+
+        class _Part:
+            def __init__(self, data):
+                self.data = data
+                self.filename = None
+
+        resp = app.handle_estimation({
+            "file": _Part(enc.tobytes()),
+            "person_height_in_cm": _Part(b"175"),
+            "threshold": _Part(b"0.0"),
+        })
+        assert resp["code"] == "success"
+        assert "body_proportion_lengths_(cm)" in resp
+        # the stage split is wired through the artifact path too
+        assert "host_prepare" in app.stages.snapshot()
+    finally:
+        app.shutdown()
