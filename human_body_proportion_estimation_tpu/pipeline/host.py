@@ -121,6 +121,38 @@ def prepare_batch(cfg, images_rgb, person_heights, det_threshold, b: int):
     return batch, thresholds, heights, orig_hw, n
 
 
+def prewarm_serving(pipeline) -> list:
+    """Compile + run the serving program for every batch bucket up front.
+
+    Triton marks a model READY only after load + initialize — the
+    reference's README tells users to wait for the server to report all
+    models loaded before the smoke test (README.md:56-64). The analog for
+    an XLA pipeline is paying each batch bucket's compile before the first
+    real request: without this, the first request at a new bucket size
+    stalls on XLA compilation. Dummy images flow through the full
+    `infer_serving` path (host prepare, upload, program cache), so every
+    power-of-two bucket up to `serve.max_batch` (or the artifact's single
+    fixed batch) is hot afterwards. Works on any serving pipeline object
+    (top-down, bottom-up, artifact-restored). Returns the image counts
+    warmed and sets `pipeline.prewarmed` for /health.
+    """
+    art = getattr(pipeline, "artifact", None)
+    max_batch = (art.batch_size if art is not None
+                 else pipeline.config.serve.max_batch)
+    img = np.zeros((64, 48, 3), np.uint8)
+    warmed = []
+    n = 1
+    while True:
+        pipeline.infer_serving([img] * n, person_heights=175.0,
+                               det_threshold=0.99)
+        warmed.append(n)
+        if n >= max_batch:
+            break
+        n = min(n * 2, max_batch)
+    pipeline.prewarmed = True
+    return warmed
+
+
 class InferencePipeline:
     """Owns model params + jitted programs; the in-process "model server".
 

@@ -231,6 +231,11 @@ def make_handler(app: ServingApp):
                     "weights": getattr(
                         app.pipeline, "weights_origin", {}
                     ),
+                    # True once every batch bucket's program is compiled
+                    # (--prewarm; Triton READY-after-load analog)
+                    "prewarmed": getattr(
+                        app.pipeline, "prewarmed", False
+                    ),
                 }
                 try:
                     stats = jax.local_devices()[0].memory_stats() or {}
@@ -328,6 +333,13 @@ def main(argv=None):
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard serving batches over N chips "
                              "(0 = single device)")
+    parser.add_argument(
+        "--prewarm", action="store_true",
+        help="compile + run the serving program for every batch bucket "
+             "before accepting traffic (Triton READY-after-load analog, "
+             "reference README :56-64) — first requests never stall on "
+             "XLA compilation; /health reports prewarmed: true",
+    )
     parser.add_argument(
         "--bottom-up", action="store_true",
         help="serve the detector-free bottom-up pipeline instead "
@@ -431,6 +443,19 @@ def main(argv=None):
 
 
 def _serve(args, pipeline, detector_name: str):
+    if getattr(args, "prewarm", False):
+        import time as _time
+
+        from human_body_proportion_estimation_tpu.pipeline.host import (
+            prewarm_serving,
+        )
+
+        t0 = _time.time()
+        warmed = prewarm_serving(pipeline)
+        log.info("prewarmed", buckets=warmed,
+                 seconds=round(_time.time() - t0, 1))
+        print(f"prewarmed batch buckets {warmed} "
+              f"in {_time.time() - t0:.1f}s", flush=True)
     app = ServingApp(pipeline)
     server = create_server(app, args.host, args.port)
     grpc_server = None

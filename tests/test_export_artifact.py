@@ -120,3 +120,19 @@ def test_serving_app_on_artifact(artifact_dir, rng):
         assert "host_prepare" in app.stages.snapshot()
     finally:
         app.shutdown()
+
+
+def test_prewarm_on_artifact_pipeline(artifact_dir):
+    """prewarm_serving works on the artifact-restored pipeline too: one
+    pass at its single fixed batch size warms the restored program."""
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        prewarm_serving,
+    )
+
+    pipe = ArtifactPipeline(artifact_dir)
+    warmed = prewarm_serving(pipe)
+    assert warmed == [1, 2]  # buckets 1 then batch_size=2
+    assert pipe.prewarmed is True

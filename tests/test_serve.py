@@ -299,3 +299,40 @@ def test_server_survives_runner_failure(served_app, monkeypatch):
         port, "/body_proportion_length_estimation_file", body, ctype
     )
     assert status == 200 and data["code"] == "success"
+
+
+def test_prewarm_compiles_every_batch_bucket():
+    """--prewarm runs the serving program at every power-of-two bucket so
+    first requests never stall on XLA compile (Triton READY-after-load
+    analog, reference README :56-64); /health then reports prewarmed."""
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+        prewarm_serving,
+    )
+    from human_body_proportion_estimation_tpu.utils.config import (
+        DetectorConfig,
+        PipelineConfig,
+        PoseConfig,
+        ServeConfig,
+    )
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(input_height=128, input_width=128),
+        pose=PoseConfig(crop_height=64, crop_width=64,
+                        heatmap_height=16, heatmap_width=16),
+        serve=ServeConfig(max_batch=4),
+    )
+    pipeline = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    assert getattr(pipeline, "prewarmed", False) is False
+    warmed = prewarm_serving(pipeline)
+    assert warmed == [1, 2, 4]
+    assert pipeline.prewarmed is True
+    # the serving program cache now holds every bucket's program; a real
+    # request at any size executes without adding a new shape
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    out = pipeline.infer_serving([img] * 3, 175.0, 0.0)
+    assert out.shape[0] == 3
