@@ -41,9 +41,43 @@ def main(argv=None):
                              "(cli.import_weights output)")
     parser.add_argument("--batch-size", type=int, default=16,
                         help="fixed batch size of the exported program")
+    parser.add_argument(
+        "--bottom-up", action="store_true",
+        help="export the bottom-up pipeline instead (HigherHRNet + AE "
+             "grouping, no detector); --checkpoint-dir supplies the pose "
+             "slot, --detector is ignored",
+    )
     parser.add_argument("--out", required=True,
                         help="output artifact directory")
     args = parser.parse_args(argv)
+
+    if args.bottom_up:
+        from human_body_proportion_estimation_tpu.pipeline.bottomup import (
+            BottomUpPipeline,
+        )
+        from human_body_proportion_estimation_tpu.pipeline.export import (
+            export_serving_artifact,
+        )
+
+        pose_vars = None
+        if args.checkpoint_dir:
+            from human_body_proportion_estimation_tpu.models import weights
+
+            _, pose_vars = weights.load_pipeline_checkpoint(
+                args.checkpoint_dir
+            )
+        pipeline = BottomUpPipeline(pose_vars=pose_vars)
+        if pipeline.weights_origin["pose"] == "random":
+            print(
+                "WARNING: exporting RANDOM-INIT HigherHRNet — the artifact "
+                "will serve garbage (recorded in meta.json weights_origin)",
+                flush=True,
+            )
+        d = export_serving_artifact(pipeline, args.out,
+                                    batch_size=args.batch_size)
+        print(f"exported bottom-up serving artifact to {d} "
+              f"(batch_size={args.batch_size})")
+        return
 
     from human_body_proportion_estimation_tpu.models.efficientdet import (
         EFFICIENTDET_LITE0,

@@ -55,6 +55,20 @@ def load_pipeline_checkpoint(directory: str) -> Tuple[Any, Any]:
     return det, pose
 
 
+def save_pose_checkpoint(directory: str, pose_vars: Any):
+    """Pose slot only — bottom-up artifacts have no detector collection."""
+    _checkpointer().save(
+        os.path.join(os.path.abspath(directory), "pose"), pose_vars,
+        force=True,
+    )
+
+
+def load_pose_checkpoint(directory: str) -> Any:
+    return _checkpointer().restore(
+        os.path.join(os.path.abspath(directory), "pose")
+    )
+
+
 # --------------------------------------------------------------------- #
 # torch pose_hrnet <-> flax name mapping
 #

@@ -50,6 +50,37 @@ class BottomUpOutputs(NamedTuple):
     seg_visible: jax.Array    # [B, P, 11] bool
 
 
+def prepare_batch_bottomup(images_rgb, person_heights, b: int, p: int,
+                           input_hw) -> tuple:
+    """Host-side batch assembly to a FIXED batch size `b` (no detector
+    inputs — the bottom-up program takes only images/heights/orig_hw).
+    Same per-request height semantics as `host.prepare_batch`."""
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        resize_for_detector,
+    )
+
+    n = len(images_rgb)
+    if n > b:
+        raise ValueError(f"{n} images exceed fixed batch size {b}")
+    h, w = input_hw
+    batch = np.zeros((b, h, w, 3), np.uint8)
+    orig_hw = np.ones((b, 2), np.float32)
+    heights = np.full((b, p), 175.0, np.float32)
+    for i, img in enumerate(images_rgb):
+        batch[i] = resize_for_detector(img, w, h)
+        orig_hw[i] = img.shape[:2]
+        hi = person_heights
+        if np.isscalar(hi):
+            heights[i, :] = float(hi)
+        else:
+            per_img = hi[i] if isinstance(hi[i], (list, tuple)) else hi
+            for slot in range(p):
+                heights[i, slot] = float(
+                    per_img[min(slot, len(per_img) - 1)]
+                )
+    return batch, heights, orig_hw, n
+
+
 class BottomUpPipeline:
     """Owns the HigherHRNet slot + the fused bottom-up program."""
 
@@ -262,7 +293,6 @@ class BottomUpPipeline:
     def _prepare(self, images_rgb, person_heights):
         from human_body_proportion_estimation_tpu.pipeline.host import (
             _pad_batch,
-            resize_for_detector,
         )
 
         n = len(images_rgb)
@@ -270,24 +300,9 @@ class BottomUpPipeline:
         if self.mesh is not None:
             dp = self.mesh.shape["data"]
             b = -(-max(b, dp) // dp) * dp  # data-shard multiple
-        h, w = self.INPUT_HW
-        p = self.max_people
-        batch = np.zeros((b, h, w, 3), np.uint8)
-        orig_hw = np.ones((b, 2), np.float32)
-        heights = np.full((b, p), 175.0, np.float32)
-        for i, img in enumerate(images_rgb):
-            batch[i] = resize_for_detector(img, w, h)
-            orig_hw[i] = img.shape[:2]
-            hi = person_heights
-            if np.isscalar(hi):
-                heights[i, :] = float(hi)
-            else:
-                per_img = hi[i] if isinstance(hi[i], (list, tuple)) else hi
-                for slot in range(p):
-                    heights[i, slot] = float(
-                        per_img[min(slot, len(per_img) - 1)]
-                    )
-        return batch, heights, orig_hw, n
+        return prepare_batch_bottomup(
+            images_rgb, person_heights, b, self.max_people, self.INPUT_HW
+        )
 
     # ------------------------------------------------------------------ #
 

@@ -30,13 +30,19 @@ from human_body_proportion_estimation_tpu.models import weights as W
 def export_serving_artifact(
     pipeline, directory: str, batch_size: int = 16
 ) -> str:
-    """Export the packed serving program + weights for `batch_size`."""
+    """Export the packed serving program + weights for `batch_size`.
+
+    Accepts either serving pipeline: `InferencePipeline` (top-down
+    det+pose, the default) or `BottomUpPipeline` (HigherHRNet + AE
+    grouping — no detector collection; mode recorded in meta.json)."""
     from jax import export as jexport
 
     cfg = pipeline.config
     os.makedirs(directory, exist_ok=True)
 
     b = batch_size
+    if not hasattr(pipeline, "det_vars"):
+        return _export_bottomup(pipeline, directory, b)
     p = cfg.detector.max_persons
     args = (
         jax.tree.map(
@@ -84,6 +90,46 @@ def export_serving_artifact(
     return directory
 
 
+def _export_bottomup(pipeline, directory: str, b: int) -> str:
+    """Bottom-up variant: program signature
+    (pose_vars, images [b,H,W,3] u8, heights [b,P], orig_hw [b,2])."""
+    from jax import export as jexport
+
+    cfg = pipeline.config
+    p = pipeline.max_people
+    h, w = pipeline.INPUT_HW
+    args = (
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.device_get(pipeline.pose_vars),
+        ),
+        jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((b, p), jnp.float32),
+        jax.ShapeDtypeStruct((b, 2), jnp.float32),
+    )
+    exported = jexport.export(jax.jit(pipeline.forward_serving))(*args)
+    with open(os.path.join(directory, "pipeline.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    W.save_pose_checkpoint(directory, jax.device_get(pipeline.pose_vars))
+    meta = {
+        "mode": "bottom_up",
+        "batch_size": b,
+        "max_persons": p,
+        "input_hw": [h, w],
+        "grouping": {
+            "max_cands": pipeline.max_cands,
+            "tag_threshold": pipeline.tag_threshold,
+            "score_threshold": pipeline.score_threshold,
+        },
+        "packed_layout": "valid | lengths_cm[11] | seg_visible[11]",
+        "config": dataclasses.asdict(cfg),
+        "weights_origin": dict(pipeline.weights_origin),
+    }
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return directory
+
+
 class ServingArtifact:
     """Restored artifact: callable packed serving program + its weights."""
 
@@ -94,7 +140,14 @@ class ServingArtifact:
             self._exported = jexport.deserialize(f.read())
         with open(os.path.join(directory, "meta.json")) as f:
             self.meta = json.load(f)
-        self.det_vars, self.pose_vars = W.load_pipeline_checkpoint(directory)
+        self.mode = self.meta.get("mode", "top_down")
+        if self.mode == "bottom_up":
+            self.det_vars = None
+            self.pose_vars = W.load_pose_checkpoint(directory)
+        else:
+            self.det_vars, self.pose_vars = W.load_pipeline_checkpoint(
+                directory
+            )
 
     @property
     def batch_size(self) -> int:
@@ -103,16 +156,23 @@ class ServingArtifact:
     def __call__(
         self,
         images: np.ndarray,      # [batch_size, H, W, 3] uint8
-        thresholds: np.ndarray,  # [batch_size]
+        thresholds: np.ndarray,  # [batch_size]; ignored in bottom_up mode
         heights: np.ndarray,     # [batch_size, P]
         orig_hw: np.ndarray,     # [batch_size, 2]
     ) -> np.ndarray:
-        out = self._exported.call(
-            self.det_vars, self.pose_vars,
-            jnp.asarray(images), jnp.asarray(thresholds, jnp.float32),
-            jnp.asarray(heights, jnp.float32),
-            jnp.asarray(orig_hw, jnp.float32),
-        )
+        if self.mode == "bottom_up":
+            out = self._exported.call(
+                self.pose_vars, jnp.asarray(images),
+                jnp.asarray(heights, jnp.float32),
+                jnp.asarray(orig_hw, jnp.float32),
+            )
+        else:
+            out = self._exported.call(
+                self.det_vars, self.pose_vars,
+                jnp.asarray(images), jnp.asarray(thresholds, jnp.float32),
+                jnp.asarray(heights, jnp.float32),
+                jnp.asarray(orig_hw, jnp.float32),
+            )
         return np.asarray(out)
 
 
@@ -175,10 +235,26 @@ class ArtifactPipeline:
                 return v[start:start + b]
 
             with stage("host_prepare"):
-                batch, thresholds, heights, orig_hw, n = host.prepare_batch(
-                    self.config, chunk, per_chunk(person_heights),
-                    per_chunk(det_threshold), b,
-                )
+                if self.artifact.mode == "bottom_up":
+                    from human_body_proportion_estimation_tpu.pipeline import (
+                        bottomup,
+                    )
+
+                    meta = self.artifact.meta
+                    batch, heights, orig_hw, n = (
+                        bottomup.prepare_batch_bottomup(
+                            chunk, per_chunk(person_heights), b,
+                            meta["max_persons"], tuple(meta["input_hw"]),
+                        )
+                    )
+                    thresholds = np.zeros((b,), np.float32)  # unused
+                else:
+                    batch, thresholds, heights, orig_hw, n = (
+                        host.prepare_batch(
+                            self.config, chunk, per_chunk(person_heights),
+                            per_chunk(det_threshold), b,
+                        )
+                    )
             with stage("device_compute_readback"):
                 rows.append(self.artifact(
                     batch, thresholds, heights, orig_hw

@@ -136,3 +136,36 @@ def test_prewarm_on_artifact_pipeline(artifact_dir):
     warmed = prewarm_serving(pipe)
     assert warmed == [1, 2]  # buckets 1 then batch_size=2
     assert pipe.prewarmed is True
+
+
+def test_bottomup_export_restore_matches_live(tmp_path, rng):
+    """Bottom-up artifact (mode=bottom_up in meta): restore must reproduce
+    the live BottomUpPipeline's packed rows, and the ArtifactPipeline edge
+    surface must serve it (no detector collection on disk)."""
+    from human_body_proportion_estimation_tpu.pipeline.bottomup import (
+        BottomUpPipeline,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+        export_serving_artifact,
+    )
+
+    live = BottomUpPipeline()
+    live.INPUT_HW = (128, 128)  # tiny input for CPU tests
+    d = export_serving_artifact(live, str(tmp_path / "bu"), batch_size=2)
+    assert not os.path.exists(os.path.join(d, "det"))
+
+    imgs = [rng.integers(0, 256, (200, 160, 3), dtype=np.uint8)
+            for _ in range(2)]
+    want = live.infer_serving(imgs, person_heights=175.0)
+
+    pipe = ArtifactPipeline(d)
+    assert pipe.artifact.mode == "bottom_up"
+    assert pipe.weights_origin == {"pose": "random"}
+    got = pipe.infer_serving(imgs, person_heights=175.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # chunking across the fixed batch: 3 identical images -> 2+1
+    out = pipe.infer_serving([imgs[0]] * 3, person_heights=175.0)
+    assert out.shape[0] == 3
+    np.testing.assert_array_equal(out[0], out[2])
