@@ -11,6 +11,7 @@ EXTRA=()
 [ -n "${CHECKPOINT_DIR:-}" ] && EXTRA+=(--checkpoint-dir "$CHECKPOINT_DIR")
 [ -n "${ARTIFACT_DIR:-}" ] && EXTRA+=(--artifact-dir "$ARTIFACT_DIR")
 [ "${DATA_PARALLEL:-0}" -gt 0 ] && EXTRA+=(--data-parallel "$DATA_PARALLEL")
+[ "${PREWARM:-0}" = "1" ] && EXTRA+=(--prewarm)
 exec python -m human_body_proportion_estimation_tpu.serve.server \
     --port "${HTTP_PORT:-8080}" \
     --grpc-port "${GRPC_PORT:-8081}" \
