@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from human_body_proportion_estimation_tpu.models import weights as W
 
+# artifact directory layout version; bump on layout/meta schema breaks.
+# Restore refuses artifacts from a NEWER writer (the Triton analog:
+# config.pbtxt `platform`/version gating on model load).
+FORMAT_VERSION = 1
+
 
 def export_serving_artifact(
     pipeline, directory: str, batch_size: int = 16
@@ -71,6 +76,7 @@ def export_serving_artifact(
         jax.device_get(pipeline.pose_vars),
     )
     meta = {
+        "format_version": FORMAT_VERSION,
         "batch_size": b,
         "max_persons": p,
         "detector_input_hw": [cfg.detector.input_height,
@@ -112,6 +118,7 @@ def _export_bottomup(pipeline, directory: str, b: int) -> str:
         f.write(exported.serialize())
     W.save_pose_checkpoint(directory, jax.device_get(pipeline.pose_vars))
     meta = {
+        "format_version": FORMAT_VERSION,
         "mode": "bottom_up",
         "batch_size": b,
         "max_persons": p,
@@ -140,6 +147,13 @@ class ServingArtifact:
             self._exported = jexport.deserialize(f.read())
         with open(os.path.join(directory, "meta.json")) as f:
             self.meta = json.load(f)
+        v = self.meta.get("format_version", 1)
+        if v > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact {directory} has format_version {v}; this "
+                f"build reads <= {FORMAT_VERSION} — re-export with this "
+                "build or upgrade it"
+            )
         self.mode = self.meta.get("mode", "top_down")
         if self.mode == "bottom_up":
             self.det_vars = None

@@ -169,3 +169,59 @@ def test_bottomup_export_restore_matches_live(tmp_path, rng):
     out = pipe.infer_serving([imgs[0]] * 3, person_heights=175.0)
     assert out.shape[0] == 3
     np.testing.assert_array_equal(out[0], out[2])
+
+
+def test_artifact_format_version_gating(artifact_dir, tmp_path):
+    """Restore refuses artifacts written by a NEWER format (the Triton
+    config.pbtxt version-gating analog) and fails cleanly on a missing
+    directory — no hangs, no partial loads."""
+    import json
+    import shutil
+
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ServingArtifact,
+    )
+
+    newer = tmp_path / "newer"
+    shutil.copytree(artifact_dir, newer)
+    meta_path = newer / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    assert meta["format_version"] == 1
+    meta["format_version"] = 99
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format_version 99"):
+        ServingArtifact(str(newer))
+
+    with pytest.raises(FileNotFoundError):
+        ServingArtifact(str(tmp_path / "does-not-exist"))
+
+
+def test_grpc_edge_on_artifact(artifact_dir, rng):
+    """The gRPC endpoint serves from a restored artifact too (the edge
+    only needs the infer_serving surface)."""
+    import cv2
+
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+        create_grpc_server,
+    )
+    from human_body_proportion_estimation_tpu.serve.server import ServingApp
+
+    app = ServingApp(ArtifactPipeline(artifact_dir))
+    server, port = create_grpc_server(app, "127.0.0.1", 0)
+    server.start()
+    try:
+        img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        client = GrpcClient(f"127.0.0.1:{port}")
+        resp = client.estimate(enc.tobytes(), 175, 0.0)
+        assert resp["code"] == "success"
+        assert "body_proportion_lengths_(cm)" in resp
+        client.close()
+    finally:
+        server.stop(0)
+        app.shutdown()
