@@ -225,3 +225,33 @@ def test_grpc_edge_on_artifact(artifact_dir, rng):
     finally:
         server.stop(0)
         app.shutdown()
+
+
+def test_yolo_backend_export_restore_matches_live(tmp_path, rng):
+    """The artifact path covers the YOLO detector slot too (backend-generic
+    forward_serving: letterbox -> decode -> NMS all in-graph)."""
+    from human_body_proportion_estimation_tpu.pipeline.backends import (
+        YoloBackend,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+    )
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(name="yolov5s", input_height=128,
+                                input_width=128),
+        pose=PoseConfig(crop_height=64, crop_width=64,
+                        heatmap_height=16, heatmap_width=16),
+    )
+    live = InferencePipeline(
+        config=cfg, backend=YoloBackend(cfg, variant="yolov5s",
+                                        input_size=128),
+    )
+    d = export_serving_artifact(live, str(tmp_path / "yolo"), batch_size=2)
+
+    imgs = [rng.integers(0, 256, (200, 160, 3), dtype=np.uint8)
+            for _ in range(2)]
+    want = live.infer_serving(imgs, 175.0, 0.0)
+    pipe = ArtifactPipeline(d)
+    got = pipe.infer_serving(imgs, 175.0, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
