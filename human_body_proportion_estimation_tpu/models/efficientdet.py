@@ -239,6 +239,12 @@ class EfficientDet(nn.Module):
     # score_kernel=False. Parameter tree is identical either way.
     score_kernel: bool = False
     person_class0: int = 0
+    # serving Mesh when the program is batch-sharded over 'data': the
+    # kernel then runs per-shard via shard_map (pallas_call itself has no
+    # SPMD partitioning rule). None = single-device.
+    score_kernel_mesh: Any = None
+    # pallas interpret mode — CPU-mesh tests of the sharded kernel path
+    score_kernel_interpret: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False, prescored: bool = False):
@@ -276,6 +282,8 @@ class EfficientDet(nn.Module):
                 return head_score_epilogue(
                     z, kernel, bias, na, cfg.num_classes,
                     person_class0=self.person_class0,
+                    mesh=self.score_kernel_mesh,
+                    interpret=self.score_kernel_interpret,
                 )
 
         cls_out = HeadNet(

@@ -52,14 +52,33 @@ def _decode_kernel(hm_ref, kp_ref, score_ref):
     score_ref[0, :, 0] = scores
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mesh"))
 def decode_heatmaps_pallas(
-    heatmaps: jax.Array, interpret: bool = False
+    heatmaps: jax.Array, interpret: bool = False, mesh=None
 ) -> Tuple[jax.Array, jax.Array]:
     """[N, K, H, W] f32 heatmaps -> ([N, K, 2] keypoints, [N, K] scores).
 
     Drop-in replacement for `ops.heatmap.decode_heatmaps` on 4D input.
+
+    `mesh`: pallas_call has no SPMD partitioning rule, so under a
+    batch-sharded jit the call must be explicitly mapped: pass the
+    serving Mesh and the kernel runs per-'data'-shard via shard_map
+    (N rows partition evenly because the caller folds the per-image
+    person slots into the sharded batch dim).
     """
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return shard_map(
+            functools.partial(
+                decode_heatmaps_pallas, interpret=interpret
+            ),
+            mesh=mesh,
+            in_specs=(P("data"),),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(heatmaps)
     n, k, h, w = heatmaps.shape
     kp, scores = pl.pallas_call(
         _decode_kernel,
@@ -215,10 +234,16 @@ def head_score_epilogue(
     person_class0: int = 0,
     tile_m: int = 512,
     interpret: bool = False,
+    mesh=None,
 ):
     """Fused class-head scoring: predict 1x1 conv + per-anchor class
     max + person-logit slice, without materializing the [B, H, W, A*C]
     logits in HBM.
+
+    `mesh`: under a batch-sharded serving jit, pass the Mesh and the
+    kernel runs per-'data'-shard via shard_map (weights replicated);
+    without it pallas_call has no SPMD partitioning rule and would force
+    replication or fail to partition.
 
     Why: the class head's final conv output at EDet-Lite4/480x640/b32 is
     ~660 MB f32; writing it and reading it back for the score reduction
@@ -233,6 +258,24 @@ def head_score_epilogue(
 
     Returns (best_logit [B, H, W, A] f32, person_logit [B, H, W, A] f32).
     """
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return shard_map(
+            functools.partial(
+                head_score_epilogue,
+                anchors_per_cell=anchors_per_cell,
+                num_classes=num_classes,
+                person_class0=person_class0,
+                tile_m=tile_m,
+                interpret=interpret,
+            ),
+            mesh=mesh,
+            in_specs=(P("data"), P(), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(z, kernel, bias)
     b, h, w_sp, f = z.shape
     a, c = anchors_per_cell, num_classes
     m = b * h * w_sp

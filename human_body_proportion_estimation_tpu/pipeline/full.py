@@ -99,15 +99,18 @@ class FusedPipeline:
         detector_backend,
         pose: HRNet,
         sharded: bool = False,
+        mesh=None,
     ):
-        """`sharded`: set when the program will be jitted with the batch
-        sharded over a mesh axis — pallas_call has no SPMD partitioning
-        rule, so the Pallas decode is disabled in favor of the XLA decode
-        (which partitions cleanly over the batch dim)."""
+        """`mesh`: the serving Mesh when the program will be jitted with
+        the batch sharded over its 'data' axis — pallas_call has no SPMD
+        partitioning rule, so on TPU the Pallas decode is then wrapped in
+        shard_map over 'data' (see ops/pallas_kernels). `sharded` without
+        a mesh keeps the plain XLA decode (CPU-mesh certification runs)."""
         self.config = config
         self.detector_backend = detector_backend
         self.pose = pose
-        self.sharded = sharded
+        self.mesh = mesh
+        self.sharded = sharded or mesh is not None
 
     def forward(
         self,
@@ -161,14 +164,19 @@ class FusedPipeline:
 
         # -- decode + gate (pose_estimator.py:75-99, driver :162-163);
         #    the Pallas kernel fuses the per-slot argmax on TPU; under a
-        #    sharded jit the XLA decode is used instead (see __init__) --
-        if jax.devices()[0].platform == "tpu" and not self.sharded:
+        #    mesh it runs per-'data'-shard via shard_map (B is the sharded
+        #    dim; the P person slots fold in per-shard), and a sharded jit
+        #    WITHOUT a mesh (CPU certification) keeps the XLA decode --
+        if jax.devices()[0].platform == "tpu" and (
+            not self.sharded or self.mesh is not None
+        ):
             from human_body_proportion_estimation_tpu.ops.pallas_kernels import (
                 decode_heatmaps_pallas,
             )
 
             kp_flat, sc_flat = decode_heatmaps_pallas(
-                heatmaps.reshape(b * p, cfg.pose.num_keypoints, hm_h, hm_w)
+                heatmaps.reshape(b * p, cfg.pose.num_keypoints, hm_h, hm_w),
+                mesh=self.mesh,
             )
             kp_hm = kp_flat.reshape(b, p, cfg.pose.num_keypoints, 2)
             kp_scores = sc_flat.reshape(b, p, cfg.pose.num_keypoints)

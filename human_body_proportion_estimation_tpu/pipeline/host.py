@@ -201,19 +201,17 @@ class InferencePipeline:
             self.backend = YoloBackend(cfg, variant=detector)
             det_weights_real = det_vars is not None
         else:
-            # single-device TPU serving gets the fused Pallas head-score
-            # kernel (pallas_call has no SPMD partitioning rule, so mesh
-            # runs keep the plain XLA graph — same gating as the Pallas
-            # heatmap decode in pipeline/full.py)
-            use_score_kernel = (
-                mesh is None
-                and jax.local_devices()[0].platform == "tpu"
-            )
+            # TPU serving gets the fused Pallas head-score kernel; under a
+            # mesh it runs per-'data'-shard via shard_map (pallas_call has
+            # no SPMD partitioning rule of its own — same treatment as the
+            # Pallas heatmap decode in pipeline/full.py)
+            use_score_kernel = jax.local_devices()[0].platform == "tpu"
             self.backend = EfficientDetBackend(
                 EfficientDet(
                     config=det_config,
                     score_kernel=use_score_kernel,
                     person_class0=cfg.detector.person_class_id - 1,
+                    score_kernel_mesh=mesh if use_score_kernel else None,
                 ),
                 cfg,
             )
@@ -247,7 +245,8 @@ class InferencePipeline:
         else:
             self.pose = create_hrnet(cfg.pose.name)
         self.fused = FusedPipeline(
-            cfg, self.backend, self.pose, sharded=mesh is not None
+            cfg, self.backend, self.pose, sharded=mesh is not None,
+            mesh=mesh,
         )
 
         if det_vars is None or pose_vars is None:
