@@ -138,9 +138,20 @@ def _export_bottomup(pipeline, directory: str, b: int) -> str:
 
 
 class ServingArtifact:
-    """Restored artifact: callable packed serving program + its weights."""
+    """Restored artifact: callable packed serving program + its weights.
 
-    def __init__(self, directory: str):
+    `mesh`: data-parallel serving of the restored program. The exported
+    StableHLO is single-device-shaped on purpose (its batch_size is the
+    PER-DEVICE batch); under a mesh the program body is wrapped in
+    shard_map over the 'data' axis — weights replicated, batch args
+    split — so one artifact serves any dp degree (effective batch =
+    batch_size x data-axis size). Exporting with baked-in shardings would
+    instead pin the artifact to one device count. This is the Triton
+    model-repo `instance_group { count: N }` analog (reference README
+    :47-80) expressed as SPMD over ICI rather than N engine replicas.
+    """
+
+    def __init__(self, directory: str, mesh=None):
         from jax import export as jexport
 
         with open(os.path.join(directory, "pipeline.stablehlo"), "rb") as f:
@@ -162,26 +173,55 @@ class ServingArtifact:
             self.det_vars, self.pose_vars = W.load_pipeline_checkpoint(
                 directory
             )
+        self.mesh = mesh
+        self._sharded_call = None
+        if mesh is not None:
+            self._sharded_call = self._build_sharded_call(mesh)
+
+    def _build_sharded_call(self, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        n_weight_args = 1 if self.mode == "bottom_up" else 2
+        n_batch_args = 3 if self.mode == "bottom_up" else 4
+        in_specs = (P(),) * n_weight_args + (P("data"),) * n_batch_args
+        return jax.jit(jax.shard_map(
+            self._exported.call,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P("data"),
+            # the per-shard body is an opaque exported call; replication
+            # of the packed output can't be inferred through it
+            check_vma=False,
+        ))
 
     @property
     def batch_size(self) -> int:
+        """Per-device batch the StableHLO program was exported for."""
         return self.meta["batch_size"]
+
+    @property
+    def effective_batch(self) -> int:
+        """Rows one call consumes: batch_size x dp degree."""
+        if self.mesh is None:
+            return self.batch_size
+        return self.batch_size * self.mesh.shape["data"]
 
     def __call__(
         self,
-        images: np.ndarray,      # [batch_size, H, W, 3] uint8
-        thresholds: np.ndarray,  # [batch_size]; ignored in bottom_up mode
-        heights: np.ndarray,     # [batch_size, P]
-        orig_hw: np.ndarray,     # [batch_size, 2]
+        images: np.ndarray,      # [effective_batch, H, W, 3] uint8
+        thresholds: np.ndarray,  # [effective_batch]; ignored in bottom_up
+        heights: np.ndarray,     # [effective_batch, P]
+        orig_hw: np.ndarray,     # [effective_batch, 2]
     ) -> np.ndarray:
+        call = self._sharded_call or self._exported.call
         if self.mode == "bottom_up":
-            out = self._exported.call(
+            out = call(
                 self.pose_vars, jnp.asarray(images),
                 jnp.asarray(heights, jnp.float32),
                 jnp.asarray(orig_hw, jnp.float32),
             )
         else:
-            out = self._exported.call(
+            out = call(
                 self.det_vars, self.pose_vars,
                 jnp.asarray(images), jnp.asarray(thresholds, jnp.float32),
                 jnp.asarray(heights, jnp.float32),
@@ -204,15 +244,17 @@ class ArtifactPipeline:
 
     The exported program has one fixed batch size; requests are padded (and
     oversize batches chunked) to it, unlike the live pipeline's power-of-2
-    buckets.
+    buckets. With `mesh`, the restored program is dp-sharded over the
+    'data' axis (see ServingArtifact) and the fixed batch becomes
+    batch_size x dp degree.
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, mesh=None):
         from human_body_proportion_estimation_tpu.utils.config import (
             config_from_dict,
         )
 
-        self.artifact = ServingArtifact(directory)
+        self.artifact = ServingArtifact(directory, mesh=mesh)
         self.config = config_from_dict(self.artifact.meta["config"])
         self.weights_origin = dict(
             self.artifact.meta.get(
@@ -221,7 +263,7 @@ class ArtifactPipeline:
             )
         )
         self.stages = None  # ServingApp attaches a StageTimer
-        self.mesh = None
+        self.mesh = mesh
 
     def infer_serving(
         self,
@@ -238,7 +280,7 @@ class ArtifactPipeline:
         stage = self.stages.stage if self.stages is not None else (
             lambda _name: contextlib.nullcontext()
         )
-        b = self.artifact.batch_size
+        b = self.artifact.effective_batch
         rows = []
         for start in range(0, len(images_rgb), b):
             chunk = images_rgb[start:start + b]

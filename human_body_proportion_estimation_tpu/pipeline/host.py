@@ -137,7 +137,7 @@ def prewarm_serving(pipeline) -> list:
     warmed and sets `pipeline.prewarmed` for /health.
     """
     art = getattr(pipeline, "artifact", None)
-    max_batch = (art.batch_size if art is not None
+    max_batch = (art.effective_batch if art is not None
                  else pipeline.config.serve.max_batch)
     img = np.zeros((64, 48, 3), np.uint8)
     warmed = []

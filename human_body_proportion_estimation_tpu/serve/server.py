@@ -327,8 +327,9 @@ def main(argv=None):
              "program + orbax weights + meta.json, see pipeline/export.py "
              "and the export-artifact CLI) instead of building models — "
              "the Triton model-repository load path (reference README "
-             ":47-80). Overrides --detector/--checkpoint-dir/"
-             "--data-parallel",
+             ":47-80). Overrides --detector/--checkpoint-dir; combines "
+             "with --data-parallel (restored program shard_map'd over N "
+             "chips, effective batch = artifact batch x N)",
     )
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard serving batches over N chips "
@@ -355,7 +356,14 @@ def main(argv=None):
             ArtifactPipeline,
         )
 
-        pipeline = ArtifactPipeline(args.artifact_dir)
+        mesh = None
+        if args.data_parallel > 1:
+            from human_body_proportion_estimation_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            mesh = make_mesh(args.data_parallel)
+        pipeline = ArtifactPipeline(args.artifact_dir, mesh=mesh)
         if "real" not in pipeline.weights_origin.values():
             print(
                 "WARNING: artifact carries no real-weight slot "

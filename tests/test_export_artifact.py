@@ -255,3 +255,65 @@ def test_yolo_backend_export_restore_matches_live(tmp_path, rng):
     pipe = ArtifactPipeline(d)
     got = pipe.infer_serving(imgs, 175.0, 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_dp_sharded_matches_single_device(artifact_dir, rng):
+    """mesh= restores the SAME StableHLO program shard_map'd over 'data':
+    rows must match the single-device restore bit-for-bit (each shard runs
+    the identical per-device program), the output must genuinely span all
+    mesh devices, and chunking must use the effective batch (2 x 8 = 16)."""
+    from human_body_proportion_estimation_tpu.parallel.mesh import make_mesh
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+        ServingArtifact,
+    )
+
+    mesh = make_mesh(8)
+    single = ArtifactPipeline(artifact_dir)
+    sharded = ArtifactPipeline(artifact_dir, mesh=mesh)
+    assert sharded.artifact.effective_batch == 16
+
+    imgs = [rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+            for _ in range(5)]
+    want = single.infer_serving(imgs, person_heights=175.0,
+                                det_threshold=0.0)
+    got = sharded.infer_serving(imgs, person_heights=175.0,
+                                det_threshold=0.0)
+    np.testing.assert_array_equal(got, want)
+
+    # the raw call output is really sharded over the mesh, not replicated
+    art = ServingArtifact(artifact_dir, mesh=mesh)
+    batch = np.zeros((16, 128, 128, 3), np.uint8)
+    out = art._sharded_call(
+        art.det_vars, art.pose_vars, batch,
+        np.full((16,), 0.99, np.float32),
+        np.full((16, art.meta["max_persons"]), 175.0, np.float32),
+        np.full((16, 2), 128.0, np.float32),
+    )
+    assert len(out.sharding.device_set) == 8
+
+
+def test_bottomup_artifact_dp_sharded_matches_single(tmp_path, rng):
+    """Bottom-up artifacts dp-shard the same way (one weight arg, three
+    batch args)."""
+    from human_body_proportion_estimation_tpu.parallel.mesh import make_mesh
+    from human_body_proportion_estimation_tpu.pipeline.bottomup import (
+        BottomUpPipeline,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ArtifactPipeline,
+        export_serving_artifact,
+    )
+
+    live = BottomUpPipeline()
+    live.INPUT_HW = (128, 128)
+    d = export_serving_artifact(live, str(tmp_path / "bu"), batch_size=1)
+
+    imgs = [rng.integers(0, 256, (200, 160, 3), dtype=np.uint8)
+            for _ in range(3)]
+    single = ArtifactPipeline(d)
+    sharded = ArtifactPipeline(d, mesh=make_mesh(4))
+    assert sharded.artifact.effective_batch == 4
+    want = single.infer_serving(imgs, person_heights=175.0)
+    got = sharded.infer_serving(imgs, person_heights=175.0)
+    np.testing.assert_array_equal(got, want)
