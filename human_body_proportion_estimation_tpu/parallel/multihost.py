@@ -256,3 +256,64 @@ def make_multihost_pipeline(
         max_persons=pipe.config.detector.max_persons,
     )
     return pipe, serving
+
+
+def make_multihost_artifact_serving(directory: str):
+    """Restore a serving artifact (pipeline/export.py) and serve it
+    lockstep over the global multi-host mesh.
+
+    Completes the deployment matrix: {live-traced, artifact} x {single
+    device, dp mesh, multi-host}. The per-device exported StableHLO body
+    is shard_map'd over the global 'data' axis exactly as in the
+    single-host dp restore (ServingArtifact(mesh=...)); the DCN edge
+    (broadcast-in, replicated-out) is the same MultiHostServing lockstep.
+    Every process must see the same artifact directory (shared filesystem
+    or identical copies — the multi-controller analog of Triton's shared
+    model repository, reference README :47-80).
+
+    Global batch per step is fixed at artifact.batch_size x mesh.size
+    (the restored program has one per-device batch shape).
+
+    Returns (ServingArtifact, MultiHostServing).
+    """
+    from jax import shard_map
+
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ServingArtifact,
+    )
+
+    mesh = global_data_mesh()
+    art = ServingArtifact(directory)
+
+    if art.mode == "bottom_up":
+        def program(det_vars, pose_vars, images, thresholds, heights,
+                    orig_hw):
+            del det_vars, thresholds  # no detector; AE threshold is baked
+            return shard_map(
+                art._exported.call,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )(pose_vars, images, heights, orig_hw)
+    else:
+        def program(det_vars, pose_vars, images, thresholds, heights,
+                    orig_hw):
+            return shard_map(
+                art._exported.call,
+                mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                          P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )(det_vars, pose_vars, images, thresholds, heights, orig_hw)
+
+    serving = MultiHostServing(
+        mesh,
+        program,
+        art.det_vars if art.det_vars is not None else {},
+        art.pose_vars,
+        max_batch=art.batch_size * mesh.size,
+        max_persons=art.meta["max_persons"],
+    )
+    return art, serving

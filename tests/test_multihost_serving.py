@@ -72,3 +72,59 @@ def test_two_process_serving_matches_single_process(tmp_path):
     packed = np.load(out)
     assert packed.shape == ref.shape == (8, 3, 23)
     np.testing.assert_allclose(packed, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_two_process_artifact_serving_matches_single_process(tmp_path):
+    """Deployment-matrix corner: an exported artifact restored by TWO
+    processes over the global 8-device mesh (make_multihost_artifact_
+    serving) reproduces the single-process artifact restore bit-for-bit
+    (each device runs the identical per-device StableHLO program)."""
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ServingArtifact,
+        export_serving_artifact,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+
+    cfg, det_cfg = tiny_config()
+    pipe = InferencePipeline(config=cfg, det_config=det_cfg, rng_seed=0)
+    d = export_serving_artifact(pipe, str(tmp_path / "art"), batch_size=1)
+
+    batch, thresholds, heights, orig_hw = make_batch()  # 8 = 2 hosts x 4
+    ref = ServingArtifact(d)(batch[:1], thresholds[:1], heights[:1],
+                             orig_hw[:1])
+
+    port = _free_port()
+    out = str(tmp_path / "packed.npy")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    script = os.path.join(REPO, "tests", "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", str(port), out, d],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1500)
+        logs.append(stdout.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), (
+        "worker failures:\n" + "\n----\n".join(logs)
+    )
+    assert "coordinator OK" in logs[0]
+    assert "worker OK" in logs[1]
+
+    packed = np.load(out)
+    assert packed.shape == (8, 3, 23)
+    # row 0 of the global batch ran on device 0 with the same per-device
+    # program and inputs as the single-process restore
+    np.testing.assert_array_equal(packed[:1], ref)
