@@ -36,6 +36,11 @@ def main():
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,
     )
+    from human_body_proportion_estimation_tpu.utils import compile_cache
+
+    # persistent compilation cache: repeat bench runs skip the multi-
+    # minute tunnel compile; steady-state timing below is unaffected
+    compile_cache.enable()
 
     pipe = InferencePipeline()
     cfg = pipe.config

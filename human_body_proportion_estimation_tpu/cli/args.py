@@ -24,8 +24,28 @@ COCO_CLASSES = (
 ).split()
 
 
+class _RuntimeParser(argparse.ArgumentParser):
+    """parse_args additionally applies runtime flags shared by every CLI
+    (currently: the persistent XLA compilation cache — repeat CLI
+    invocations skip the multi-minute first jit of the fused programs,
+    the engine-cache behavior reference users get from Triton's prebuilt
+    model repository)."""
+
+    def parse_args(self, *a, **kw):  # type: ignore[override]
+        args = super().parse_args(*a, **kw)
+        if not getattr(args, "no_compile_cache", False):
+            from human_body_proportion_estimation_tpu.utils import (
+                compile_cache,
+            )
+
+            compile_cache.enable(
+                getattr(args, "compile_cache_dir", None) or None
+            )
+        return args
+
+
 def build_parser(description: str) -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description=description)
+    p = _RuntimeParser(description=description)
     p.add_argument("-i", "--input_path", required=True,
                    help="image file, image directory, or video file")
     p.add_argument("-m", "--media_type", default="image",
@@ -42,4 +62,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    choices=("efficientdet_lite4", "efficientdet_lite0"))
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--debug", action="store_true", default=True)
+    p.add_argument("--compile-cache-dir", default="",
+                   help="persistent XLA compilation cache dir (default "
+                        "~/.cache/hbpe_xla_cache) — repeat runs skip "
+                        "compilation")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent compilation cache")
     return p

@@ -49,7 +49,15 @@ def main(argv=None):
     )
     parser.add_argument("--out", required=True,
                         help="output artifact directory")
+    parser.add_argument("--compile-cache-dir", default="",
+                        help="persistent XLA compilation cache dir")
+    parser.add_argument("--no-compile-cache", action="store_true")
     args = parser.parse_args(argv)
+
+    if not args.no_compile_cache:
+        from human_body_proportion_estimation_tpu.utils import compile_cache
+
+        compile_cache.enable(args.compile_cache_dir or None)
 
     if args.bottom_up:
         from human_body_proportion_estimation_tpu.pipeline.bottomup import (

@@ -342,6 +342,15 @@ def main(argv=None):
              "XLA compilation; /health reports prewarmed: true",
     )
     parser.add_argument(
+        "--compile-cache-dir", default="",
+        help="persistent XLA compilation cache directory (TensorRT "
+             "engine-cache analog): server restarts skip recompiling the "
+             "fused programs. Default ~/.cache/hbpe_xla_cache; pass "
+             "--no-compile-cache to disable",
+    )
+    parser.add_argument("--no-compile-cache", action="store_true",
+                        help="disable the persistent compilation cache")
+    parser.add_argument(
         "--bottom-up", action="store_true",
         help="serve the detector-free bottom-up pipeline instead "
              "(HigherHRNet + associative-embedding grouping, one model "
@@ -350,6 +359,12 @@ def main(argv=None):
              "score threshold fixed at startup, not per request",
     )
     args = parser.parse_args(argv)
+
+    if not args.no_compile_cache:
+        from human_body_proportion_estimation_tpu.utils import compile_cache
+
+        d = compile_cache.enable(args.compile_cache_dir or None)
+        print(f"compilation cache: {d}", flush=True)
 
     if args.artifact_dir:
         from human_body_proportion_estimation_tpu.pipeline.export import (
