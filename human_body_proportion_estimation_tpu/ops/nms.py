@@ -177,6 +177,51 @@ def yolo_nms(
     )
 
 
+def yolo_nms_scored(
+    boxes_xywh: jax.Array,
+    obj: jax.Array,
+    best_cls: jax.Array,
+    best_logit: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    top_k: int = 512,
+    agnostic: bool = False,
+    class_filter: int | None = None,
+) -> NmsResult:
+    """`yolo_nms` from the pre-reduced representation produced by
+    `models.yolov5.decode_scored` (class argmax/max already taken on
+    logits — sigmoid-monotonicity makes the selection identical, see
+    there). Same reference semantics (`modules/onnx_utils.py:125-222`,
+    best-class branch): conf = sigmoid(best_logit) * obj; keep
+    obj > thres and conf > thres; xywh -> xyxy; class-offset batched
+    NMS; cap at max_det.
+
+    Args:
+        boxes_xywh: [N, 4] (cx, cy, w, h) decoded boxes.
+        obj: [N] objectness probability (post-sigmoid).
+        best_cls: [N] int best class index.
+        best_logit: [N] best class LOGIT (pre-sigmoid).
+    """
+    boxes = xywh2xyxy(boxes_xywh)
+    conf = jax.nn.sigmoid(best_logit) * obj
+
+    valid = (obj > conf_thres) & (conf > conf_thres)
+    if class_filter is not None:
+        valid &= best_cls == class_filter
+    conf = jnp.where(valid, conf, 0.0)
+
+    return nms_fixed(
+        boxes,
+        conf,
+        iou_thres,
+        max_det,
+        top_k,
+        classes=best_cls.astype(boxes.dtype),
+        class_agnostic=agnostic,
+    )
+
+
 def yolo_nms_legacy(
     prediction: jax.Array,
     num_classes: int,

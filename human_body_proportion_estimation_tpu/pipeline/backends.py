@@ -127,16 +127,20 @@ class YoloBackend:
 
     def __call__(self, det_vars, image_f32, det_threshold):
         from human_body_proportion_estimation_tpu.models.yolov5 import (
-            decode_predictions,
+            decode_scored,
         )
 
         cfg = self.config
         s = self.input_size
         boxed = img_ops.letterbox(image_f32, s, s)
         heads = self.model.apply(det_vars, boxed[None] / 255.0)
-        preds = decode_predictions(heads, self.model.config.num_classes)[0]
-        res = nms_ops.yolo_nms(
-            preds,
+        # class reduction on logits (sigmoid-monotonic, identical floats
+        # downstream) — the [25200, 85] sigmoid tensor never materializes
+        bxywh, obj, best_cls, best_logit = decode_scored(
+            heads, self.model.config.num_classes
+        )
+        res = nms_ops.yolo_nms_scored(
+            bxywh[0], obj[0], best_cls[0], best_logit[0],
             conf_thres=self.CONF_THRES,
             iou_thres=self.IOU_THRES,
             max_det=cfg.detector.max_detections,

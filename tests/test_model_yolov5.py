@@ -77,3 +77,43 @@ def test_m_width_depth():
     cfg = Y.YOLOV5M
     assert cfg.width(64) == 48 and cfg.width(1024) == 768
     assert cfg.depth(3) == 2 and cfg.depth(9) == 6
+
+
+def test_decode_scored_matches_classic_path(rng):
+    """The pre-sigmoid class reduction (decode_scored + yolo_nms_scored)
+    must reproduce the classic decode_predictions + yolo_nms results
+    bit-for-bit: sigmoid is strictly monotonic, so argmax/max over class
+    channels commute with it, and the winning confidence is computed from
+    the same two floats either way."""
+    from human_body_proportion_estimation_tpu.ops.nms import (
+        yolo_nms_scored,
+    )
+
+    # synthetic heads with realistic logit range (no sigmoid saturation
+    # ties, which are the one documented argmax edge case)
+    heads = []
+    for (h, w) in ((8, 8), (4, 4), (2, 2)):
+        heads.append(jnp.asarray(
+            rng.normal(0, 3, (2, h, w, 255)).clip(-8, 8), jnp.float32
+        ))
+
+    preds = Y.decode_predictions(heads)
+    bxywh, obj, best_cls, best_logit = Y.decode_scored(heads)
+
+    for img in range(2):
+        for cf in (None, 0):
+            a = yolo_nms(preds[img], conf_thres=0.1, iou_thres=0.5,
+                         max_det=16, top_k=64, class_filter=cf)
+            b = yolo_nms_scored(
+                bxywh[img], obj[img], best_cls[img], best_logit[img],
+                conf_thres=0.1, iou_thres=0.5, max_det=16, top_k=64,
+                class_filter=cf,
+            )
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+            np.testing.assert_array_equal(np.asarray(a.boxes),
+                                          np.asarray(b.boxes))
+            np.testing.assert_array_equal(np.asarray(a.scores),
+                                          np.asarray(b.scores))
+            np.testing.assert_array_equal(np.asarray(a.classes),
+                                          np.asarray(b.classes))
