@@ -145,10 +145,17 @@ class FusedPipeline:
             w,
         )
 
-        # -- person crops from the /255 image (conv.py:59-70) --
+        # -- person crops from the /255 image (conv.py:59-70). Precision
+        #    HIGH (bf16x3 passes) instead of the op's exact HIGHEST
+        #    default: measured max |err| 4e-5 on /255 inputs — two orders
+        #    below the bf16 cast HRNet's first conv applies anyway — for
+        #    4.4 -> 2.6 ms at b32x3 (scripts/probe_crop.py; gather-based
+        #    variants measured SLOWER, 5.8/11.3 ms). On CPU (parity/mesh
+        #    certification) precision is ignored and stays f32-exact --
         crops = jax.vmap(
             lambda img, bx: crop_ops.crop_and_resize(
-                img, bx, cfg.pose.crop_height, cfg.pose.crop_width
+                img, bx, cfg.pose.crop_height, cfg.pose.crop_width,
+                precision=jax.lax.Precision.HIGH,
             )
         )(images_f32 / 255.0, boxes_norm)          # [B, P, 384, 288, 3]
 

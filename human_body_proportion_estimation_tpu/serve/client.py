@@ -1,0 +1,142 @@
+"""HTTP client SDK for the serving edge — the user-facing analog of the
+reference's client plumbing.
+
+Reference users talk to the service with hand-rolled `requests.post`
+multipart calls against the FastAPI app (`uvicorn_server/server.py:85-119`)
+or `tritonclient` for raw tensors (`modules/triton_utils.py:11-34`). This
+module gives the same one-call ergonomics against this framework's HTTP
+edge on the stdlib only (no requests dependency):
+
+    client = HttpClient("127.0.0.1", 8080)
+    client.estimate_image("person.jpg", person_height_cm=193)
+    client.estimate_video("clip.mp4", frame_stride=5)
+    client.health(); client.metrics()
+
+The gRPC twin (`serve.grpc_server.GrpcClient`) covers the tensor-level
+contract; this covers the JSON contract.
+"""
+
+from __future__ import annotations
+
+import json
+import mimetypes
+import uuid
+from typing import Any, Dict
+
+
+def _multipart(fields: Dict[str, tuple]) -> tuple:
+    """fields: name -> (bytes_or_str, filename_or_None). Returns
+    (body, content_type)."""
+    boundary = uuid.uuid4().hex
+    parts = []
+    for name, (data, filename) in fields.items():
+        disp = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+            guessed = mimetypes.guess_type(filename)[0]
+            disp += (f"\r\nContent-Type: "
+                     f"{guessed or 'application/octet-stream'}")
+        payload = data if isinstance(data, bytes) else str(data).encode()
+        parts.append(
+            f"--{boundary}\r\n{disp}\r\n\r\n".encode() + payload + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+class HttpClient:
+    """Blocking client for the HTTP serving edge."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080,
+                 timeout: float = 600.0):
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+
+    # ------------------------------------------------------------------ #
+
+    def _request(self, method: str, path: str, body: bytes | None = None,
+                 content_type: str | None = None) -> Dict[str, Any]:
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout
+        )
+        try:
+            headers = {}
+            if content_type:
+                headers["Content-Type"] = content_type
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            data["_http_status"] = resp.status
+            return data
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _read(path_or_bytes) -> tuple:
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            return bytes(path_or_bytes), "upload"
+        with open(path_or_bytes, "rb") as f:
+            return f.read(), str(path_or_bytes)
+
+    # ------------------------------------------------------------------ #
+
+    def estimate_image(
+        self,
+        image,
+        person_height_cm: int = 175,
+        det_threshold: float = 0.70,
+        back_url: str = "",
+    ) -> Dict[str, Any]:
+        """POST an image (path or bytes); returns the response JSON
+        (reference contract: code / msg / body_proportion_lengths_(cm))."""
+        data, name = self._read(image)
+        fields = {
+            "file": (data, name),
+            "person_height_in_cm": (person_height_cm, None),
+            "threshold": (det_threshold, None),
+        }
+        if back_url:
+            fields["back_url"] = (back_url, None)
+        body, ctype = _multipart(fields)
+        return self._request(
+            "POST", "/body_proportion_length_estimation_file", body, ctype
+        )
+
+    def estimate_video(
+        self,
+        video,
+        person_height_cm: int = 175,
+        det_threshold: float = 0.70,
+        frame_stride: int = 1,
+        max_frames: int = 0,
+        back_url: str = "",
+    ) -> Dict[str, Any]:
+        """POST a video (path or bytes); returns per-frame results plus
+        the median summary (see serve.server.handle_video_estimation)."""
+        data, name = self._read(video)
+        fields = {
+            "file": (data, name),
+            "person_height_in_cm": (person_height_cm, None),
+            "threshold": (det_threshold, None),
+            "frame_stride": (frame_stride, None),
+        }
+        if max_frames:
+            fields["max_frames"] = (max_frames, None)
+        if back_url:
+            fields["back_url"] = (back_url, None)
+        body, ctype = _multipart(fields)
+        return self._request(
+            "POST", "/body_proportion_length_estimation_video", body, ctype
+        )
+
+    def health(self) -> Dict[str, Any]:
+        return self._request("GET", "/health")
+
+    def metrics(self) -> Dict[str, Any]:
+        return self._request("GET", "/metrics")
+
+    def docs(self) -> Dict[str, Any]:
+        return self._request("GET", "/docs")

@@ -14,6 +14,14 @@ Route/response parity with `uvicorn_server/server.py`:
 Additions over the reference (observability gaps called out in SURVEY §5):
   GET /health  -> liveness + device info
   GET /metrics -> QPS/latency percentiles/batch occupancy JSON
+  POST /body_proportion_length_estimation_video
+      multipart form: `file` (video) + the same height/threshold forms,
+      optional `frame_stride`/`max_frames`/`back_url` -> per-frame
+      person-0 results + a median-across-frames summary. The reference
+      handles video only in its CLI drivers (serial batch-1 Triton
+      calls, `triton_utils.py:95-127`); here frames stream through the
+      same dynamic batcher as image requests at full device batch
+      occupancy.
 
 Architecture: request threads decode bytes (CPU-parallel), submit decoded
 images to the `DynamicBatcher`, which coalesces them into fused-program
@@ -171,6 +179,100 @@ class ServingApp:
             self._post_webhook(back_url, response)
         return response
 
+    # frames submitted to the batcher per wave: bounds decoded-frame
+    # memory and our share of the batcher queue (leaves room for
+    # concurrent image requests to interleave with a long video)
+    VIDEO_CHUNK = 64
+
+    def handle_video_estimation(self, form) -> Dict[str, Any]:
+        """POST /body_proportion_length_estimation_video.
+
+        Beyond-reference endpoint: the reference processes video only via
+        its CLI drivers (`triton_utils.extract_data_from_media`
+        :95-127, serial batch-1 Triton calls); its HTTP server takes
+        single images. Here video frames stream through the SAME dynamic
+        batcher as image requests, so a video upload runs at full device
+        batch occupancy while concurrent image requests keep their
+        latency guarantees. Per-frame person-0 results (reference
+        first-person-only semantics, server.py:61-67) plus a median
+        summary across frames — the temporal aggregate a single-image
+        API cannot offer.
+        """
+        from human_body_proportion_estimation_tpu.utils.io import (
+            stream_video_bytes,
+        )
+
+        if "file" not in form:
+            raise ValueError("missing 'file' form field")
+        height = int(form["person_height_in_cm"].data) \
+            if "person_height_in_cm" in form else 175
+        threshold = float(form["threshold"].data) \
+            if "threshold" in form else 0.70
+        back_url = form["back_url"].data.decode() if "back_url" in form else ""
+        frame_stride = int(form["frame_stride"].data) \
+            if "frame_stride" in form else 1
+        max_frames = int(form["max_frames"].data) \
+            if "max_frames" in form else 0
+
+        frames, fps = stream_video_bytes(form["file"].data, frame_stride)
+        per_frame: List[Dict[str, Any]] = []
+        numeric: Dict[str, List[float]] = {}
+        found_any = False
+        pending: List[tuple] = []  # (original frame index, Future)
+
+        def drain():
+            nonlocal found_any
+            for idx, fut in pending:
+                r = fut.result()
+                d = r["body_proportion_lengths_(cm)"]
+                if r["msg"] != "No humans detected":
+                    found_any = True
+                for k, v in d.items():
+                    if isinstance(v, (int, float)):
+                        numeric.setdefault(k, []).append(float(v))
+                per_frame.append({
+                    "frame": idx,
+                    "msg": r["msg"],
+                    "body_proportion_lengths_(cm)": d,
+                })
+            pending.clear()
+
+        for n, frame in enumerate(frames):
+            if max_frames and n >= max_frames:
+                frames.close()
+                break
+            payload = {"image": frame, "height": height,
+                       "threshold": threshold}
+            try:
+                fut = self.batcher.submit(payload)
+            except queue.Full:
+                # our own chunk may be what filled the queue — finish it
+                # and retry once before giving up (concurrent image
+                # requests then genuinely own the queue)
+                drain()
+                fut = self.batcher.submit(payload)
+            pending.append((n * frame_stride, fut))
+            if len(pending) >= self.VIDEO_CHUNK:
+                drain()
+        drain()
+
+        summary = {
+            k: float(np.median(v)) for k, v in sorted(numeric.items())
+        }
+        response = {
+            "code": "success",
+            "msg": ("human body proportion estimation complete"
+                    if found_any else "No humans detected"),
+            "fps": fps,
+            "frame_stride": frame_stride,
+            "num_frames_processed": len(per_frame),
+            "frames": per_frame,
+            "median_body_proportion_lengths_(cm)": summary,
+        }
+        if back_url:
+            self._post_webhook(back_url, response)
+        return response
+
     @staticmethod
     def _post_webhook(url: str, payload: Dict[str, Any]):
         # fire-and-log, like ModelProcessTask (server.py:69-82)
@@ -261,13 +363,40 @@ def make_handler(app: ServingApp):
                             "body_proportion_lengths_(cm)":
                                 "segment name -> cm or 'Part not visible'",
                         },
-                    }
+                    },
+                    "POST /body_proportion_length_estimation_video": {
+                        "form": {
+                            "file": "video file (required)",
+                            "person_height_in_cm": "int, default 175",
+                            "threshold": "float, default 0.70",
+                            "frame_stride":
+                                "int >=1, process every Nth frame",
+                            "max_frames": "int, cap processed frames",
+                            "back_url": "optional webhook URL",
+                        },
+                        "returns": {
+                            "code": "success|failed",
+                            "msg": "status message",
+                            "fps": "source video fps",
+                            "num_frames_processed": "int",
+                            "frames": "per-frame person-0 results",
+                            "median_body_proportion_lengths_(cm)":
+                                "median over frames, per segment",
+                        },
+                    },
                 })
             else:
                 self._send_json({"detail": "Not Found"}, 404)
 
         def do_POST(self):
-            if self.path != "/body_proportion_length_estimation_file":
+            routes = {
+                "/body_proportion_length_estimation_file":
+                    app.handle_estimation,
+                "/body_proportion_length_estimation_video":
+                    app.handle_video_estimation,
+            }
+            handler = routes.get(self.path)
+            if handler is None:
                 self._send_json({"detail": "Not Found"}, 404)
                 return
             try:
@@ -276,7 +405,7 @@ def make_handler(app: ServingApp):
                 form = parse_multipart(
                     body, self.headers.get("Content-Type", "")
                 )
-                response = app.handle_estimation(form)
+                response = handler(form)
                 self._send_json(response)
             except queue.Full:
                 log.warning("backpressure_reject")

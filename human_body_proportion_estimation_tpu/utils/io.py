@@ -76,6 +76,44 @@ def stream_video(path: str) -> Tuple[Iterator[np.ndarray], float]:
     return gen(), fps
 
 
+def stream_video_bytes(
+    data: bytes, frame_stride: int = 1
+) -> Tuple[Iterator[np.ndarray], float]:
+    """Yield RGB frames from in-memory video bytes + the video's fps.
+
+    cv2.VideoCapture reads from paths only, so the bytes land in a
+    temporary file that is unlinked when the generator is exhausted (or
+    closed). `frame_stride` > 1 subsamples frames (every stride-th frame
+    is yielded) — bounded work for long uploads. The 10k-frame cap
+    matches the reference's video guard (`triton_utils.py:100-101`).
+    """
+    import tempfile
+
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+    tmp = tempfile.NamedTemporaryFile(suffix=".video", delete=False)
+    try:
+        tmp.write(data)
+        tmp.close()
+        frames, fps = stream_video(tmp.name)
+    except BaseException:
+        os.unlink(tmp.name)
+        raise
+
+    def gen():
+        try:
+            for i, frame in enumerate(frames):
+                if i % frame_stride == 0:
+                    yield frame
+        finally:
+            try:
+                os.unlink(tmp.name)
+            except OSError:
+                pass
+
+    return gen(), fps
+
+
 class VideoWriter:
     """mp4 writer taking RGB frames (thin cv2 wrapper)."""
 

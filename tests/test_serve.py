@@ -211,6 +211,117 @@ def test_estimation_missing_file_fails_cleanly(served_app):
     assert data["code"] == "failed"
 
 
+def _encode_test_video(n_frames=6, wh=(64, 64), fps=5.0):
+    import os
+    import tempfile
+
+    import cv2
+
+    rng = np.random.default_rng(3)
+    path = tempfile.mktemp(suffix=".avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, wh)
+    assert w.isOpened()
+    for _ in range(n_frames):
+        w.write(rng.integers(0, 256, (wh[1], wh[0], 3), dtype=np.uint8))
+    w.release()
+    with open(path, "rb") as f:
+        data = f.read()
+    os.unlink(path)
+    return data
+
+
+def test_video_estimation_route(served_app):
+    port, _ = served_app
+    video = _encode_test_video(n_frames=6)
+    body, ctype = _multipart_body({
+        "file": (video, "clip.avi"),
+        "person_height_in_cm": ("180", None),
+        "frame_stride": ("2", None),
+    })
+    status, data = _post(
+        port, "/body_proportion_length_estimation_video", body, ctype
+    )
+    assert status == 200
+    assert data["code"] == "success"
+    assert data["num_frames_processed"] == 3  # 6 frames, stride 2
+    assert [f["frame"] for f in data["frames"]] == [0, 2, 4]
+    for f in data["frames"]:
+        assert "body_proportion_lengths_(cm)" in f
+    assert "median_body_proportion_lengths_(cm)" in data
+    assert data["fps"] == pytest.approx(5.0, abs=0.1)
+    assert data["msg"] in (
+        "No humans detected",
+        "human body proportion estimation complete",
+    )
+
+
+def test_video_estimation_max_frames(served_app):
+    port, _ = served_app
+    video = _encode_test_video(n_frames=6)
+    body, ctype = _multipart_body({
+        "file": (video, "clip.avi"),
+        "max_frames": ("2", None),
+    })
+    status, data = _post(
+        port, "/body_proportion_length_estimation_video", body, ctype
+    )
+    assert status == 200 and data["code"] == "success"
+    assert data["num_frames_processed"] == 2
+    assert [f["frame"] for f in data["frames"]] == [0, 1]
+
+
+def test_video_estimation_bad_video_never_500(served_app):
+    port, _ = served_app
+    body, ctype = _multipart_body({"file": (b"not a video", "x.avi")})
+    status, data = _post(
+        port, "/body_proportion_length_estimation_video", body, ctype
+    )
+    assert status == 200
+    assert data["code"] == "failed"
+
+
+def test_stream_video_bytes_strides_and_cleans_up(tmp_path):
+    import glob
+    import tempfile
+
+    from human_body_proportion_estimation_tpu.utils.io import (
+        stream_video_bytes,
+    )
+
+    video = _encode_test_video(n_frames=5, wh=(32, 32))
+    before = set(glob.glob(tempfile.gettempdir() + "/*.video"))
+    frames, fps = stream_video_bytes(video, frame_stride=2)
+    got = list(frames)
+    assert len(got) == 3  # frames 0, 2, 4
+    assert got[0].shape == (32, 32, 3) and got[0].dtype == np.uint8
+    assert fps == pytest.approx(5.0, abs=0.1)
+    # the temp file backing cv2.VideoCapture is unlinked on exhaustion
+    assert set(glob.glob(tempfile.gettempdir() + "/*.video")) == before
+
+    with pytest.raises(ValueError):
+        stream_video_bytes(video, frame_stride=0)
+
+
+def test_http_client_sdk(served_app):
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, jpg = served_app
+    c = HttpClient("127.0.0.1", port)
+    r = c.estimate_image(jpg, person_height_cm=193, det_threshold=0.6)
+    assert r["_http_status"] == 200 and r["code"] == "success"
+    assert "body_proportion_lengths_(cm)" in r
+
+    v = c.estimate_video(_encode_test_video(n_frames=4), frame_stride=2)
+    assert v["code"] == "success" and v["num_frames_processed"] == 2
+
+    h = c.health()
+    assert h["status"] == "ok"
+    m = c.metrics()
+    assert m["requests_total"] >= 1
+    d = c.docs()
+    assert "POST /body_proportion_length_estimation_video" in d
+
+
 def test_metrics_and_health(served_app):
     port, jpg = served_app
     # issue one request so counters are non-zero regardless of test order
