@@ -198,10 +198,6 @@ class ServingApp:
         summary across frames — the temporal aggregate a single-image
         API cannot offer.
         """
-        from human_body_proportion_estimation_tpu.utils.io import (
-            stream_video_bytes,
-        )
-
         if "file" not in form:
             raise ValueError("missing 'file' form field")
         height = int(form["person_height_in_cm"].data) \
@@ -213,8 +209,23 @@ class ServingApp:
             if "frame_stride" in form else 1
         max_frames = int(form["max_frames"].data) \
             if "max_frames" in form else 0
+        response = self.run_video(
+            form["file"].data, height, threshold, frame_stride, max_frames
+        )
+        if back_url:
+            self._post_webhook(back_url, response)
+        return response
 
-        frames, fps = stream_video_bytes(form["file"].data, frame_stride)
+    def run_video(self, video_bytes: bytes, height: float, threshold: float,
+                  frame_stride: int = 1, max_frames: int = 0
+                  ) -> Dict[str, Any]:
+        """Transport-independent video core shared by the HTTP form
+        handler above and the gRPC EstimateVideo RPC."""
+        from human_body_proportion_estimation_tpu.utils.io import (
+            stream_video_bytes,
+        )
+
+        frames, fps = stream_video_bytes(video_bytes, frame_stride)
         per_frame: List[Dict[str, Any]] = []
         numeric: Dict[str, List[float]] = {}
         found_any = False
@@ -259,7 +270,7 @@ class ServingApp:
         summary = {
             k: float(np.median(v)) for k, v in sorted(numeric.items())
         }
-        response = {
+        return {
             "code": "success",
             "msg": ("human body proportion estimation complete"
                     if found_any else "No humans detected"),
@@ -269,9 +280,6 @@ class ServingApp:
             "frames": per_frame,
             "median_body_proportion_lengths_(cm)": summary,
         }
-        if back_url:
-            self._post_webhook(back_url, response)
-        return response
 
     @staticmethod
     def _post_webhook(url: str, payload: Dict[str, Any]):
