@@ -1,8 +1,10 @@
 """Shared CLI argument surface, mirroring the reference's flags
 (`modules/utils.py:85-113`) so reference users keep their muscle memory.
 
-The `-g/--grpc_port` flag is accepted but inert: there is no separate model
-server to dial — the models run in-process on the TPU.
+The `-g/--grpc_port` flag keeps the reference's Triton-port semantics:
+drivers with a remote mode (pose_est) dial the serving edge's named model
+via the tensor-level ModelInfer RPC (serve/registry.py); without it (and
+on the remaining drivers) the models run in-process on the TPU.
 """
 
 from __future__ import annotations
@@ -56,8 +58,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("-p", "--person_height", type=float, default=175.0,
                    help="subject height in cm for pixel->cm scaling")
     p.add_argument("-g", "--grpc_port", default=None,
-                   help="ignored (kept for reference-CLI compatibility; "
-                        "models run in-process)")
+                   help="serving-edge gRPC port or host:port — when set, "
+                        "drivers that support remote mode (pose_est) call "
+                        "the named model over the tensor-level ModelInfer "
+                        "RPC instead of running in-process (the "
+                        "reference's Triton-port semantics); other "
+                        "drivers ignore it")
     p.add_argument("--detector", default="efficientdet_lite4",
                    choices=("efficientdet_lite4", "efficientdet_lite0"))
     p.add_argument("--checkpoint-dir", default=None)

@@ -140,3 +140,12 @@ class HttpClient:
 
     def docs(self) -> Dict[str, Any]:
         return self._request("GET", "/docs")
+
+    def models(self) -> Dict[str, Any]:
+        """Model-repository index (read-only mirror of the gRPC
+        RepositoryIndex RPC; tensor inference itself is gRPC-only,
+        `serve.grpc_server.GrpcClient.infer`)."""
+        return self._request("GET", "/v2/models")
+
+    def model_metadata(self, name: str) -> Dict[str, Any]:
+        return self._request("GET", f"/v2/models/{name}")

@@ -1,0 +1,767 @@
+"""Named-model registry: the Triton model-repository role.
+
+The reference's serving surface is not one endpoint — it is a *repository*
+of named models behind Triton's tensor-level gRPC API, addressed by name
+from every driver:
+
+  * ``ensemble_edet4_person_det_pose``
+    (`person_det_pose_edet4_trtserver.py:30`) — the det->crop->pose DAG,
+    outputs ``ENSEMBLE_OUTPUT_FILTER_DET_BOXES`` / ``ENSEMBLE_OUTPUT_HEATMAPS``
+    (`:22-23`).
+  * ``edetlite4`` / ``edetlite4_modified`` (`obj_det_edet4_trtserver.py:166`)
+    — raw detector (``output_0/1/2``, `:24-29`) and the model-surgery graph
+    (``detection_boxes/scores/classes``, ``filtered_boxes``, ``human_crops``,
+    reference `models/conv.py:82-86`).
+  * ``yolov5m`` (`obj_det_yolov5_trtserver.py:180`) — ``output``
+    [B, 25200, 85] (`:41`).
+  * ``hrnet`` / ``higherhrnet`` (`pose_est_hrnet_trtserver.py:22-28`) —
+    ``output`` / ``output_1``+``output_2`` heatmap tensors.
+
+Clients introspect each model's inputs/outputs/max_batch_size before
+building requests (`modules/triton_utils.py:54-72` ``parse_model_grpc``).
+This module provides that repository natively: every model is a jittable
+XLA program wrapped in a numpy-tensor runner, registered under the
+reference's model name with Triton-style metadata (KServe-v2 dtype strings),
+and served through the gRPC ``ModelInfer`` / ``ModelMetadata`` /
+``RepositoryIndex`` RPCs (serve/grpc_server.py) plus the HTTP
+``/v2/models`` read-only mirror.
+
+TPU-native design notes (deliberate divergences, not omissions):
+  * Fixed shapes on device, dynamic shapes on the wire: programs run with
+    3 padded person slots / 100 detection slots and validity masks; the
+    host boundary slices to the dynamic counts the reference emits
+    (e.g. ``filtered_boxes`` [n<=3, 4]).
+  * Detector models accept any input H x W and host-resize to the
+    pipeline's detector input; pixel-space outputs are scaled back to the
+    wire image's dimensions (the reference requires the client to resize,
+    `obj_det_edet4_trtserver.py:15-18`).
+  * Models are built lazily on first inference (params + first compile);
+    metadata is served without loading. The repository index marks
+    everything READY (it will serve) and reports whether it is loaded.
+  * The no-detection fallback of `models/conv.py:72-79` (a single all-zero
+    crop, so HRNet runs on zeros) is replicated exactly: invalid person
+    slots are masked to zero before the pose stage and the host returns
+    ``human_crops``/heatmaps of length max(n, 1).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Triton/KServe-v2 datatype strings <-> numpy (triton_utils builds inputs
+# from these names via tritonclient's metadata, reference :37-51)
+TRITON_TO_NP = {
+    "UINT8": np.uint8,
+    "INT32": np.int32,
+    "INT64": np.int64,
+    "FP16": np.float16,
+    "FP32": np.float32,
+    "FP64": np.float64,
+    "BOOL": np.bool_,
+}
+NP_TO_TRITON = {np.dtype(v): k for k, v in TRITON_TO_NP.items()}
+
+
+@dataclass(frozen=True)
+class TensorSpec:
+    """Wire tensor contract. shape uses -1 for dynamic dims; the leading
+    dim is the batch dim when the model reports max_batch_size > 0."""
+
+    name: str
+    datatype: str
+    shape: Tuple[int, ...]
+
+
+@dataclass
+class ModelEntry:
+    """One named model: metadata + a lazily built numpy runner."""
+
+    name: str
+    platform: str               # descriptive ("jax_xla"), Triton-config analog
+    inputs: List[TensorSpec]
+    outputs: List[TensorSpec]
+    max_batch_size: int         # 0 = no batch dim (fixed batch-1 signature)
+    weights: str                # "real" | "random"
+    build: Callable[[], Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]]
+    _runner: Optional[Callable] = field(default=None, repr=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    @property
+    def loaded(self) -> bool:
+        return self._runner is not None
+
+    def runner(self) -> Callable:
+        if self._runner is None:
+            with self._lock:
+                if self._runner is None:
+                    self._runner = self.build()
+        return self._runner
+
+
+class ModelRegistry:
+    """Name -> ModelEntry map with Triton-shaped introspection + dispatch."""
+
+    def __init__(self):
+        self._models: Dict[str, ModelEntry] = {}
+
+    def register(self, entry: ModelEntry) -> None:
+        self._models[entry.name] = entry
+
+    def names(self) -> List[str]:
+        return sorted(self._models)
+
+    def index(self) -> List[Dict[str, Any]]:
+        """RepositoryIndex rows (tritonclient get_model_repository_index
+        analog): every registered model is servable -> READY."""
+        return [
+            {
+                "name": m.name,
+                "state": "READY",
+                "loaded": m.loaded,
+                "weights": m.weights,
+            }
+            for m in (self._models[n] for n in self.names())
+        ]
+
+    def metadata(self, name: str) -> Dict[str, Any]:
+        """The fields `parse_model_grpc` consumes (reference
+        triton_utils.py:54-72): input/output names, dtypes, shapes,
+        max_batch_size."""
+        m = self._get(name)
+        return {
+            "name": m.name,
+            "platform": m.platform,
+            "max_batch_size": m.max_batch_size,
+            "weights": m.weights,
+            "inputs": [
+                {"name": t.name, "datatype": t.datatype,
+                 "shape": list(t.shape)}
+                for t in m.inputs
+            ],
+            "outputs": [
+                {"name": t.name, "datatype": t.datatype,
+                 "shape": list(t.shape)}
+                for t in m.outputs
+            ],
+        }
+
+    def infer(
+        self,
+        name: str,
+        inputs: Dict[str, np.ndarray],
+        output_names: Optional[Sequence[str]] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Run a named model on numpy tensors (triton_client.infer analog).
+
+        Validates tensor names/dtypes against metadata, dispatches to the
+        (lazily built) runner, optionally filters requested outputs —
+        Triton's requested-outputs semantics (triton_utils.py:44-49).
+        """
+        m = self._get(name)
+        expected = {t.name: t for t in m.inputs}
+        unknown = set(inputs) - set(expected)
+        if unknown:
+            raise ValueError(
+                f"model '{name}' has no input(s) {sorted(unknown)}; "
+                f"expects {sorted(expected)}"
+            )
+        missing = set(expected) - set(inputs)
+        if missing:
+            raise ValueError(
+                f"model '{name}' missing input(s) {sorted(missing)}"
+            )
+        coerced = {}
+        for tname, arr in inputs.items():
+            spec = expected[tname]
+            want = TRITON_TO_NP[spec.datatype]
+            arr = np.asarray(arr)
+            if arr.dtype != want:
+                raise ValueError(
+                    f"input '{tname}' dtype {arr.dtype} != {spec.datatype}"
+                )
+            if len(arr.shape) != len(spec.shape):
+                raise ValueError(
+                    f"input '{tname}' rank {len(arr.shape)} != "
+                    f"{len(spec.shape)} (shape spec {list(spec.shape)})"
+                )
+            for got, want_d in zip(arr.shape, spec.shape):
+                if want_d != -1 and got != want_d:
+                    raise ValueError(
+                        f"input '{tname}' shape {list(arr.shape)} "
+                        f"incompatible with {list(spec.shape)}"
+                    )
+            coerced[tname] = arr
+        if m.max_batch_size > 0:
+            b = next(iter(coerced.values())).shape[0]
+            if b > m.max_batch_size:
+                raise ValueError(
+                    f"batch {b} exceeds model '{name}' "
+                    f"max_batch_size {m.max_batch_size}"
+                )
+        out = m.runner()(coerced)
+        if output_names:
+            bad = set(output_names) - set(out)
+            if bad:
+                raise ValueError(
+                    f"model '{name}' has no output(s) {sorted(bad)}"
+                )
+            out = {k: out[k] for k in output_names}
+        return out
+
+    def _get(self, name: str) -> ModelEntry:
+        if name not in self._models:
+            raise KeyError(
+                f"model '{name}' not found; repository has {self.names()}"
+            )
+        return self._models[name]
+
+
+# --------------------------------------------------------------------- #
+# runner builders
+# --------------------------------------------------------------------- #
+
+
+def _pad_pow2(n: int, cap: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(max(b, 1), max(cap, n))
+
+
+def _device_put_default(tree):
+    import jax
+
+    return jax.device_put(tree, jax.local_devices()[0])
+
+
+def _init_on_cpu(fn):
+    """Random param init on host CPU (fast trace), device_put once —
+    same pattern as pipeline/host.py InferencePipeline.__init__."""
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = fn(jax.random.PRNGKey(0))
+    return _device_put_default(variables)
+
+
+def _resize_u8(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    if img.shape[0] == height and img.shape[1] == width:
+        return img
+    import cv2
+
+    return cv2.resize(img, (width, height)).astype(np.uint8)
+
+
+def _hrnet_entry(cfg, pose=None, pose_vars=None,
+                 weights: str = "random") -> ModelEntry:
+    """`hrnet`: f32 NCHW crops -> "output" heatmaps [B, 17, 96, 72]
+    (reference pose_est_hrnet_trtserver.py:22-25 reads "output"; the wire
+    layout is the reference's channel-first ONNX convention — transposed
+    to NHWC on-device for the MXU-friendly layout this framework uses)."""
+    ch, cw = cfg.pose.crop_height, cfg.pose.crop_width
+    k = cfg.pose.num_keypoints
+    max_batch = cfg.serve.max_batch
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from human_body_proportion_estimation_tpu.models.hrnet import (
+            create_hrnet,
+        )
+
+        model = pose
+        variables = pose_vars
+        if model is None:
+            model = create_hrnet(cfg.pose.name)
+            variables = _init_on_cpu(
+                lambda rng: model.init(
+                    rng, jnp.zeros((1, ch, cw, 3), jnp.float32)
+                )
+            )
+
+        def program(v, x_nchw):
+            x = jnp.transpose(x_nchw, (0, 2, 3, 1))
+            hm = model.apply(v, x)
+            return jnp.moveaxis(hm, -1, 1)
+
+        jitted = jax.jit(program)
+
+        def run(inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+            x = inputs["input"]
+            n = x.shape[0]
+            b = _pad_pow2(n, max_batch)
+            if b != n:
+                x = np.concatenate(
+                    [x, np.zeros((b - n,) + x.shape[1:], x.dtype)]
+                )
+            out = np.asarray(jitted(variables, jnp.asarray(x)))
+            return {"output": out[:n]}
+
+        return run
+
+    return ModelEntry(
+        name="hrnet",
+        platform="jax_xla",
+        inputs=[TensorSpec("input", "FP32", (-1, 3, ch, cw))],
+        outputs=[TensorSpec("output", "FP32",
+                            (-1, k, ch // 4, cw // 4))],
+        max_batch_size=max_batch,
+        weights=weights,
+        build=build,
+    )
+
+
+def _higherhrnet_entry(cfg, weights: str = "random") -> ModelEntry:
+    """`higherhrnet`: f32 NCHW image -> "output_1" (K heatmaps + K AE tags,
+    1/4 res) and "output_2" (K heatmaps, 1/2 res) — the tensor contract the
+    reference reads (pose_est_hrnet_trtserver.py:26-28 uses output_2 only;
+    output_1 carries the AE tags the bottom-up pipeline consumes)."""
+    k = cfg.pose.num_keypoints
+    max_batch = cfg.serve.max_batch
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from human_body_proportion_estimation_tpu.models.higherhrnet import (
+            HigherHRNet,
+        )
+
+        model = HigherHRNet()
+        variables = _init_on_cpu(
+            lambda rng: model.init(
+                rng, jnp.zeros((1, 128, 128, 3), jnp.float32)
+            )
+        )
+
+        def program(v, x_nchw):
+            x = jnp.transpose(x_nchw, (0, 2, 3, 1))
+            out = model.apply(v, x)
+            return (
+                jnp.moveaxis(out["output_1"], -1, 1),
+                jnp.moveaxis(out["output_2"], -1, 1),
+            )
+
+        jitted = jax.jit(program)
+
+        def run(inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+            x = inputs["input"]
+            n = x.shape[0]
+            b = _pad_pow2(n, max_batch)
+            if b != n:
+                x = np.concatenate(
+                    [x, np.zeros((b - n,) + x.shape[1:], x.dtype)]
+                )
+            o1, o2 = jitted(variables, jnp.asarray(x))
+            return {
+                "output_1": np.asarray(o1)[:n],
+                "output_2": np.asarray(o2)[:n],
+            }
+
+        return run
+
+    return ModelEntry(
+        name="higherhrnet",
+        platform="jax_xla",
+        inputs=[TensorSpec("input", "FP32", (-1, 3, -1, -1))],
+        outputs=[
+            TensorSpec("output_1", "FP32", (-1, 2 * k, -1, -1)),
+            TensorSpec("output_2", "FP32", (-1, k, -1, -1)),
+        ],
+        max_batch_size=max_batch,
+        weights=weights,
+        build=build,
+    )
+
+
+def _yolo_entry(cfg, variant: str = "yolov5m",
+                weights: str = "random") -> ModelEntry:
+    """`yolov5m`/`yolov5s`: "images" f32 NCHW [B,3,640,640] (already /255,
+    reference obj_det_yolov5_trtserver.py:30-37) -> "output" [B, 25200, 85]
+    decoded predictions (the layout its postprocess reads, :40-44)."""
+    size = 640
+    max_batch = cfg.serve.max_batch
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from human_body_proportion_estimation_tpu.models.yolov5 import (
+            YOLOV5L,
+            YOLOV5M,
+            YOLOV5S,
+            YoloV5,
+            decode_predictions,
+        )
+
+        variants = {
+            "yolov5s": YOLOV5S, "yolov5m": YOLOV5M, "yolov5l": YOLOV5L,
+        }
+        model = YoloV5(config=variants[variant])
+        variables = _init_on_cpu(
+            lambda rng: model.init(
+                rng, jnp.zeros((1, size, size, 3), jnp.float32)
+            )
+        )
+
+        def program(v, x_nchw):
+            x = jnp.transpose(x_nchw, (0, 2, 3, 1))
+            heads = model.apply(v, x)
+            return decode_predictions(heads)
+
+        jitted = jax.jit(program)
+
+        def run(inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+            x = inputs["images"]
+            n = x.shape[0]
+            b = _pad_pow2(n, max_batch)
+            if b != n:
+                x = np.concatenate(
+                    [x, np.zeros((b - n,) + x.shape[1:], x.dtype)]
+                )
+            out = np.asarray(jitted(variables, jnp.asarray(x)))
+            return {"output": out[:n]}
+
+        return run
+
+    n_pred = sum((size // s) ** 2 * 3 for s in (8, 16, 32))  # 25200
+    return ModelEntry(
+        name=variant,
+        platform="jax_xla",
+        inputs=[TensorSpec("images", "FP32", (-1, 3, size, size))],
+        outputs=[TensorSpec("output", "FP32", (-1, n_pred, 85))],
+        max_batch_size=max_batch,
+        weights=weights,
+        build=build,
+    )
+
+
+def _build_edet_core(cfg, det_config, detector=None, det_vars=None):
+    """Shared lazily built detection core for the three edet models:
+    UNJITTED `raw` / `modified` program bodies (each entry jits its own
+    composition) producing the 100-slot raw tensors plus the
+    person-filtered / expanded / cropped stages of `models/conv.py`."""
+    import jax.numpy as jnp
+
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EfficientDet,
+        postprocess,
+    )
+    from human_body_proportion_estimation_tpu.ops import (
+        boxes as box_ops,
+        crop as crop_ops,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.full import (
+        select_persons,
+    )
+
+    h, w = cfg.detector.input_height, cfg.detector.input_width
+    model = detector
+    variables = det_vars
+    if model is None:
+        model = EfficientDet(config=det_config)
+        variables = _init_on_cpu(
+            lambda rng: model.init(
+                rng, jnp.zeros((1, h, w, 3), jnp.float32)
+            )
+        )
+
+    def raw(v, img_u8):
+        """[1,h,w,3] u8 -> 100-slot (boxes px yxyx, scores, classes 1-based,
+        valid) — the raw `edetlite4` SavedModel contract (output[i][0],
+        reference models/conv.py:16-18)."""
+        f = img_u8.astype(jnp.float32)
+        cls_logits, box_regs = model.apply(v, f)
+        return postprocess(
+            cls_logits[0], box_regs[0], (h, w), model.config,
+            iou_threshold=cfg.detector.iou_threshold,
+            top_k=cfg.detector.nms_top_k,
+        )
+
+    def modified(v, img_u8, det_thres, det_xy_change):
+        """The `edetlite4_modified` graph (models/conv.py:14-86): person
+        filter -> score threshold -> top-3 -> bbox expand by +/-xy ->
+        normalize -> /255 crop 384x288 -> NCHW, plus the raw tensors."""
+        boxes, scores, classes, valid = raw(v, img_u8)
+        pboxes, pscores, pvalid = select_persons(
+            boxes, scores, classes, valid, det_thres[0],
+            cfg.detector.person_class_id, cfg.detector.max_persons,
+        )
+        boxes_norm = box_ops.expand_clip_normalize_yxyx(
+            pboxes, det_xy_change[0], det_xy_change[1], h, w,
+        )
+        crops = crop_ops.crop_and_resize(
+            img_u8[0].astype(jnp.float32) / 255.0, boxes_norm,
+            cfg.pose.crop_height, cfg.pose.crop_width,
+        )
+        # conv.py:72-79 no-detection fallback: HRNet sees ZEROS, not a
+        # zero-area crop's samples — mask invalid slots exactly
+        crops = jnp.where(pvalid[:, None, None, None], crops, 0.0)
+        crops_nchw = jnp.transpose(crops, (0, 3, 1, 2))
+        return boxes, scores, classes, boxes_norm, crops_nchw, pvalid
+
+    return model, variables, raw, modified
+
+
+def _edet_entries(cfg, det_config, detector=None, det_vars=None,
+                  pose=None, pose_vars=None,
+                  det_weights: str = "random",
+                  pose_weights: str = "random") -> List[ModelEntry]:
+    """`edetlite4`, `edetlite4_modified`, `ensemble_edet4_person_det_pose`
+    — sharing one lazily built detector core (and the serving pipeline's
+    loaded params when available)."""
+    h, w = cfg.detector.input_height, cfg.detector.input_width
+    ch, cw = cfg.pose.crop_height, cfg.pose.crop_width
+    k = cfg.pose.num_keypoints
+    p = cfg.detector.max_persons
+    state: Dict[str, Any] = {}
+    lock = threading.Lock()
+
+    def core():
+        with lock:
+            if "core" not in state:
+                state["core"] = _build_edet_core(
+                    cfg, det_config, detector, det_vars
+                )
+        return state["core"]
+
+    def prep(img_wire: np.ndarray):
+        """Wire image [1,H,W,3] u8 -> det-input-sized batch + the scale
+        factors mapping det-input pixels back to wire pixels."""
+        wire_h, wire_w = img_wire.shape[1:3]
+        img = _resize_u8(img_wire[0], w, h)[None]
+        scale = np.array(
+            [wire_h / h, wire_w / w, wire_h / h, wire_w / w], np.float32
+        )
+        return img, scale
+
+    def build_raw():
+        import jax
+        import jax.numpy as jnp
+
+        _, variables, raw, _ = core()
+        jitted = jax.jit(raw)
+
+        def run(inputs):
+            img, scale = prep(inputs["image"])
+            boxes, scores, classes, _valid = (
+                np.asarray(t) for t in jitted(variables, jnp.asarray(img))
+            )
+            return {
+                "output_0": (boxes * scale)[None],
+                "output_1": scores[None],
+                "output_2": classes[None],
+            }
+
+        return run
+
+    def build_modified():
+        import jax
+        import jax.numpy as jnp
+
+        _, variables, _, modified = core()
+        jitted = jax.jit(modified)
+
+        def run(inputs):
+            img, scale = prep(inputs["edet_input_image"])
+            boxes, scores, classes, boxes_norm, crops, pvalid = (
+                np.asarray(t) for t in jitted(
+                    variables, jnp.asarray(img),
+                    jnp.asarray(inputs["det_thres"]),
+                    jnp.asarray(inputs["det_xy_change"]),
+                )
+            )
+            n = int(pvalid.sum())
+            human_crops = (
+                crops[:n] if n
+                else np.zeros((1, 3, ch, cw), np.float32)  # conv.py:72-79
+            )
+            return {
+                "detection_boxes": boxes * scale,
+                "detection_scores": scores,
+                "detection_classes": classes,
+                "filtered_boxes": boxes_norm[:n],  # normalized: scale-free
+                "human_crops": human_crops,
+            }
+
+        return run
+
+    def build_ensemble():
+        import jax
+        import jax.numpy as jnp
+
+        from human_body_proportion_estimation_tpu.models.hrnet import (
+            create_hrnet,
+        )
+
+        _, variables, _, modified = core()
+        pmodel = pose
+        pvars = pose_vars
+        if pmodel is None:
+            pmodel = create_hrnet(cfg.pose.name)
+            pvars = _init_on_cpu(
+                lambda rng: pmodel.init(
+                    rng, jnp.zeros((1, ch, cw, 3), jnp.float32)
+                )
+            )
+
+        def program(dv, pv, img, det_thres, det_xy_change):
+            _, _, _, boxes_norm, crops_nchw, valid = modified(
+                dv, img, det_thres, det_xy_change
+            )
+            crops = jnp.transpose(crops_nchw, (0, 2, 3, 1))
+            hm = pmodel.apply(pv, crops)
+            return boxes_norm, jnp.moveaxis(hm, -1, 1), valid
+
+        jitted = jax.jit(program)
+
+        def run(inputs):
+            img, _scale = prep(inputs["edet_input_image"])
+            boxes_norm, heatmaps, valid = (
+                np.asarray(t) for t in jitted(
+                    variables, pvars, jnp.asarray(img),
+                    jnp.asarray(inputs["det_thres"]),
+                    jnp.asarray(inputs["det_xy_change"]),
+                )
+            )
+            n = int(valid.sum())
+            return {
+                # normalized expanded person boxes, de-normalized by the
+                # CLIENT against its image dims (driver :142-145)
+                "ENSEMBLE_OUTPUT_FILTER_DET_BOXES": boxes_norm[:n],
+                # n==0 -> heatmaps of the single zero crop, like the
+                # reference ensemble running hrnet on conv.py's fallback
+                "ENSEMBLE_OUTPUT_HEATMAPS": heatmaps[:max(n, 1)],
+            }
+
+        return run
+
+    mod_inputs = [
+        TensorSpec("edet_input_image", "UINT8", (1, -1, -1, 3)),
+        TensorSpec("det_thres", "FP32", (1,)),
+        TensorSpec("det_xy_change", "FP32", (2,)),
+    ]
+    nd = 100  # EfficientDet max_detections (conv.py:16-18 "100,4")
+    return [
+        ModelEntry(
+            name="edetlite4",
+            platform="jax_xla",
+            inputs=[TensorSpec("image", "UINT8", (1, -1, -1, 3))],
+            outputs=[
+                TensorSpec("output_0", "FP32", (1, nd, 4)),
+                TensorSpec("output_1", "FP32", (1, nd)),
+                TensorSpec("output_2", "FP32", (1, nd)),
+            ],
+            max_batch_size=0,
+            weights=det_weights,
+            build=build_raw,
+        ),
+        ModelEntry(
+            name="edetlite4_modified",
+            platform="jax_xla",
+            inputs=mod_inputs,
+            outputs=[
+                TensorSpec("detection_boxes", "FP32", (nd, 4)),
+                TensorSpec("detection_scores", "FP32", (nd,)),
+                TensorSpec("detection_classes", "FP32", (nd,)),
+                TensorSpec("filtered_boxes", "FP32", (-1, 4)),
+                TensorSpec("human_crops", "FP32", (-1, 3, ch, cw)),
+            ],
+            max_batch_size=0,
+            weights=det_weights,
+            build=build_modified,
+        ),
+        ModelEntry(
+            name="ensemble_edet4_person_det_pose",
+            platform="jax_xla_ensemble",
+            inputs=mod_inputs,
+            outputs=[
+                TensorSpec("ENSEMBLE_OUTPUT_FILTER_DET_BOXES", "FP32",
+                           (-1, 4)),
+                TensorSpec("ENSEMBLE_OUTPUT_HEATMAPS", "FP32",
+                           (-1, k, ch // 4, cw // 4)),
+            ],
+            max_batch_size=0,
+            weights=(
+                "real" if det_weights == "real" and pose_weights == "real"
+                else "random"
+            ),
+            build=build_ensemble,
+        ),
+    ]
+
+
+def build_registry(pipeline=None, config=None,
+                   include: Optional[Sequence[str]] = None) -> ModelRegistry:
+    """Assemble the default repository (the reference's model-repo roster,
+    README :71-80), sharing the serving pipeline's already loaded models/
+    params where they match so registry inference adds no device memory.
+
+    `include`: restrict to a subset of model names (tests, small deploys).
+    """
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE4,
+    )
+    from human_body_proportion_estimation_tpu.models.hrnet import HRNet
+    from human_body_proportion_estimation_tpu.utils.config import (
+        PipelineConfig,
+    )
+
+    cfg = config
+    pose = pose_vars = None
+    det = det_vars = None
+    det_config = EFFICIENTDET_LITE4
+    det_weights = pose_weights = "random"
+    if pipeline is not None:
+        cfg = cfg or getattr(pipeline, "config", None)
+        origin = getattr(pipeline, "weights_origin", {})
+        p_pose = getattr(pipeline, "pose", None)
+        if isinstance(p_pose, HRNet):
+            pose = p_pose
+            pose_vars = pipeline.pose_vars
+            pose_weights = origin.get("pose", "random")
+        backend = getattr(pipeline, "backend", None)
+        det_model = getattr(backend, "detector", None)
+        if det_model is not None and not getattr(
+            det_model, "score_kernel", False
+        ):
+            # reuse only the canonical (non-Pallas-epilogue) detector:
+            # registry programs need the generic prescored=False path,
+            # which is identical either way, but sharing the score-kernel
+            # instance would pin its mesh/person-class specialization
+            det = det_model
+            det_vars = pipeline.det_vars
+            det_config = det_model.config
+            det_weights = origin.get("detector", "random")
+        elif det_model is not None:
+            det_config = det_model.config
+            det_vars = pipeline.det_vars
+            from human_body_proportion_estimation_tpu.models.efficientdet import (  # noqa: E501
+                EfficientDet,
+            )
+
+            det = EfficientDet(config=det_config)
+            det_weights = origin.get("detector", "random")
+    cfg = cfg or PipelineConfig()
+
+    reg = ModelRegistry()
+    entries = [
+        _hrnet_entry(cfg, pose, pose_vars, pose_weights),
+        _higherhrnet_entry(cfg),
+        _yolo_entry(cfg, "yolov5m"),
+        _yolo_entry(cfg, "yolov5s"),
+        *_edet_entries(
+            cfg, det_config, det, det_vars, pose, pose_vars,
+            det_weights=det_weights, pose_weights=pose_weights,
+        ),
+    ]
+    for e in entries:
+        if include is None or e.name in include:
+            reg.register(e)
+    return reg

@@ -111,6 +111,20 @@ class ServingApp:
                 metrics=self.metrics,
             )
 
+    @property
+    def registry(self):
+        """Named-model repository (Triton model-repo role): lazily built
+        so domain-endpoint-only deployments pay nothing; shares the
+        serving pipeline's loaded params where the models match
+        (serve/registry.py)."""
+        if getattr(self, "_registry", None) is None:
+            from human_body_proportion_estimation_tpu.serve.registry import (
+                build_registry,
+            )
+
+            self._registry = build_registry(self.pipeline)
+        return self._registry
+
     def metrics_snapshot(self) -> Dict[str, Any]:
         stages = {"stages": self.stages.snapshot()}
         if self.native:
@@ -356,6 +370,17 @@ def make_handler(app: ServingApp):
                 self._send_json(payload)
             elif self.path == "/metrics":
                 self._send_json(app.metrics_snapshot())
+            elif self.path == "/v2/models":
+                # repository index (read-only mirror of the gRPC
+                # RepositoryIndex RPC; tensor inference is gRPC-only,
+                # like the reference's Triton deployment)
+                self._send_json({"models": app.registry.index()})
+            elif self.path.startswith("/v2/models/"):
+                name = self.path[len("/v2/models/"):]
+                try:
+                    self._send_json(app.registry.metadata(name))
+                except KeyError as e:
+                    self._send_json({"detail": str(e)}, 404)
             elif self.path == "/docs":
                 self._send_json({
                     "POST /body_proportion_length_estimation_file": {

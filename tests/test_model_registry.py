@@ -1,0 +1,260 @@
+"""Named-model registry (Triton model-repository role, serve/registry.py):
+metadata introspection, tensor-level inference, reference tensor contracts
+(model names / input-output names / dynamic-slice semantics of
+`models/conv.py:82-86` and the drivers), and validation errors."""
+
+import numpy as np
+import pytest
+
+from human_body_proportion_estimation_tpu.utils.config import (
+    DetectorConfig,
+    PipelineConfig,
+    PoseConfig,
+    ServeConfig,
+)
+
+REFERENCE_MODELS = {
+    "ensemble_edet4_person_det_pose",
+    "edetlite4",
+    "edetlite4_modified",
+    "hrnet",
+    "higherhrnet",
+    "yolov5m",
+    "yolov5s",
+}
+
+
+def tiny_config():
+    return PipelineConfig(
+        detector=DetectorConfig(input_height=128, input_width=128),
+        pose=PoseConfig(crop_height=64, crop_width=64,
+                        heatmap_height=16, heatmap_width=16),
+        serve=ServeConfig(max_batch=4, batch_timeout_ms=3),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_and_registry():
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        build_registry,
+    )
+
+    # rng_seed != 0: the registry's standalone fallback inits with
+    # PRNGKey(0), so param SHARING with the pipeline is only observable
+    # when the pipeline's params differ from that fallback
+    pipe = InferencePipeline(config=tiny_config(),
+                             det_config=EFFICIENTDET_LITE0, rng_seed=7)
+    return pipe, build_registry(pipe)
+
+
+def test_repository_roster_and_index(pipeline_and_registry):
+    _, reg = pipeline_and_registry
+    assert set(reg.names()) == REFERENCE_MODELS
+    idx = {row["name"]: row for row in reg.index()}
+    # nothing loaded before first inference (lazy, like Triton's
+    # load-on-demand repository mode) and everything servable
+    assert all(row["state"] == "READY" for row in idx.values())
+    assert not idx["yolov5m"]["loaded"]
+    assert idx["hrnet"]["weights"] in ("real", "random")
+
+
+def test_metadata_is_parse_model_grpc_shaped(pipeline_and_registry):
+    """The fields the reference's parse_model_grpc consumes
+    (triton_utils.py:54-72): input/output names, dtypes, shapes,
+    max_batch_size."""
+    _, reg = pipeline_and_registry
+    meta = reg.metadata("hrnet")
+    assert meta["max_batch_size"] == 4
+    (inp,) = meta["inputs"]
+    assert inp == {"name": "input", "datatype": "FP32",
+                   "shape": [-1, 3, 64, 64]}
+    (out,) = meta["outputs"]
+    assert out["name"] == "output"          # pose_est_hrnet_trtserver.py:25
+    assert out["shape"] == [-1, 17, 16, 16]
+
+    meta = reg.metadata("ensemble_edet4_person_det_pose")
+    assert [t["name"] for t in meta["inputs"]] == [
+        "edet_input_image", "det_thres", "det_xy_change",
+    ]  # models/conv.py:11-14 signature
+    assert [t["name"] for t in meta["outputs"]] == [
+        "ENSEMBLE_OUTPUT_FILTER_DET_BOXES", "ENSEMBLE_OUTPUT_HEATMAPS",
+    ]  # person_det_pose_edet4_trtserver.py:22-23
+
+    meta = reg.metadata("yolov5m")
+    assert meta["inputs"][0]["name"] == "images"
+    assert meta["outputs"][0]["shape"] == [-1, 25200, 85]
+
+    meta = reg.metadata("edetlite4_modified")
+    assert [t["name"] for t in meta["outputs"]] == [
+        "detection_boxes", "detection_scores", "detection_classes",
+        "filtered_boxes", "human_crops",
+    ]  # models/conv.py:82-86
+
+
+def test_hrnet_runner_matches_direct_apply(pipeline_and_registry):
+    """Registry `hrnet` == the pipeline's own pose model with the
+    PIPELINE's params (they must be shared — the fixture seeds them away
+    from the registry's standalone fallback): NCHW wire in, NCHW heatmaps
+    out. Comparison uses an identically structured jitted program —
+    bf16 compute makes jit-vs-eager differ by fusion/accumulation order."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe, reg = pipeline_and_registry
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 3, 64, 64), np.float32)
+    out = reg.infer("hrnet", {"input": x})
+    assert set(out) == {"output"}
+    assert out["output"].shape == (2, 17, 16, 16)
+
+    def direct_program(v, t):
+        return jnp.moveaxis(
+            pipe.pose.apply(v, jnp.transpose(t, (0, 2, 3, 1))), -1, 1
+        )
+
+    direct = np.asarray(
+        jax.jit(direct_program)(pipe.pose_vars, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(out["output"], direct, rtol=0, atol=0)
+    assert {r["name"]: r["loaded"] for r in reg.index()}["hrnet"]
+
+
+def test_edetlite4_raw_contract(pipeline_and_registry):
+    """`edetlite4`: uint8 image in, output_0/1/2 100-slot tensors out
+    (obj_det_edet4_trtserver.py:24-29), boxes scaled to the WIRE image's
+    pixel space."""
+    _, reg = pipeline_and_registry
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (1, 256, 256, 3), np.uint8)
+    out = reg.infer("edetlite4", {"image": img})
+    assert out["output_0"].shape == (1, 100, 4)
+    assert out["output_1"].shape == (1, 100)
+    assert out["output_2"].shape == (1, 100)
+    boxes = out["output_0"][0]
+    # wire image is 256x256, det input 128x128 -> boxes scaled back
+    assert float(boxes.max()) <= 256.0 + 1e-3
+    scores = out["output_1"][0]
+    assert (np.diff(scores[scores > 0]) <= 1e-6).all()  # score-sorted
+
+
+def test_modified_and_ensemble_no_person_fallback(pipeline_and_registry):
+    """threshold 0.99 on random weights -> no person slots: dynamic
+    empty filtered_boxes, the conv.py:72-79 single ZERO crop, and
+    ensemble heatmaps of that zero crop (length 1)."""
+    _, reg = pipeline_and_registry
+    rng = np.random.default_rng(2)
+    inputs = {
+        "edet_input_image": rng.integers(0, 256, (1, 128, 128, 3), np.uint8),
+        "det_thres": np.array([0.99], np.float32),
+        "det_xy_change": np.array([7.0, 0.0], np.float32),
+    }
+    out = reg.infer("edetlite4_modified", inputs)
+    assert out["detection_boxes"].shape == (100, 4)
+    assert out["filtered_boxes"].shape == (0, 4)
+    assert out["human_crops"].shape == (1, 3, 64, 64)
+    assert (out["human_crops"] == 0).all()
+
+    ens = reg.infer("ensemble_edet4_person_det_pose", inputs)
+    assert ens["ENSEMBLE_OUTPUT_FILTER_DET_BOXES"].shape == (0, 4)
+    assert ens["ENSEMBLE_OUTPUT_HEATMAPS"].shape == (1, 17, 16, 16)
+    assert np.isfinite(ens["ENSEMBLE_OUTPUT_HEATMAPS"]).all()
+
+
+def test_modified_with_detections(pipeline_and_registry):
+    """threshold 0 accepts every detection -> up to 3 person slots with
+    normalized expanded boxes and /255 crops (conv.py:31-70)."""
+    _, reg = pipeline_and_registry
+    rng = np.random.default_rng(3)
+    inputs = {
+        "edet_input_image": rng.integers(0, 256, (1, 128, 128, 3), np.uint8),
+        "det_thres": np.array([0.0], np.float32),
+        "det_xy_change": np.array([7.0, 0.0], np.float32),
+    }
+    out = reg.infer("edetlite4_modified", inputs)
+    n = out["filtered_boxes"].shape[0]
+    # random weights: some anchors always score > 0; person-class slots
+    # may or may not survive, but shapes must stay consistent
+    assert out["human_crops"].shape == (max(n, 1), 3, 64, 64)
+    if n:
+        fb = out["filtered_boxes"]
+        assert (fb >= 0).all() and (fb <= 1).all()  # normalized
+
+    ens = reg.infer("ensemble_edet4_person_det_pose", inputs)
+    assert ens["ENSEMBLE_OUTPUT_HEATMAPS"].shape == (max(n, 1), 17, 16, 16)
+    assert ens["ENSEMBLE_OUTPUT_FILTER_DET_BOXES"].shape == (n, 4)
+    # the two are DIFFERENT jit programs over bf16 compute — low bits may
+    # diverge with fusion order; boxes are normalized [0,1]
+    np.testing.assert_allclose(
+        ens["ENSEMBLE_OUTPUT_FILTER_DET_BOXES"], out["filtered_boxes"],
+        atol=2e-2,
+    )
+
+
+def test_higherhrnet_dual_outputs(pipeline_and_registry):
+    """`higherhrnet` emits output_1 (heatmaps+AE tags, 1/4 res) and
+    output_2 (heatmaps, 1/2 res) — pose_est_hrnet_trtserver.py:26-28."""
+    _, reg = pipeline_and_registry
+    rng = np.random.default_rng(4)
+    x = rng.random((1, 3, 64, 64), np.float32)
+    out = reg.infer("higherhrnet", {"input": x})
+    assert out["output_1"].shape == (1, 34, 16, 16)
+    assert out["output_2"].shape == (1, 17, 32, 32)
+
+
+def test_requested_outputs_filter(pipeline_and_registry):
+    """Triton requested-outputs semantics: ask for a subset, get exactly
+    that subset (triton_utils.py:44-49)."""
+    _, reg = pipeline_and_registry
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 3, 64, 64), np.float32)
+    out = reg.infer("higherhrnet", {"input": x}, ["output_2"])
+    assert set(out) == {"output_2"}
+
+
+def test_validation_errors(pipeline_and_registry):
+    _, reg = pipeline_and_registry
+    x = np.zeros((1, 3, 64, 64), np.float32)
+    with pytest.raises(KeyError, match="not found"):
+        reg.infer("nope", {"input": x})
+    with pytest.raises(ValueError, match="no input"):
+        reg.infer("hrnet", {"wrong": x})
+    with pytest.raises(ValueError, match="missing input"):
+        reg.infer("hrnet", {})
+    with pytest.raises(ValueError, match="dtype"):
+        reg.infer("hrnet", {"input": x.astype(np.float64)})
+    with pytest.raises(ValueError, match="incompatible"):
+        reg.infer("hrnet", {"input": np.zeros((1, 3, 32, 64), np.float32)})
+    with pytest.raises(ValueError, match="max_batch_size"):
+        reg.infer("hrnet", {"input": np.zeros((8, 3, 64, 64), np.float32)})
+    with pytest.raises(ValueError, match="no output"):
+        reg.infer("hrnet", {"input": x}, ["nope"])
+
+
+def test_wire_tensor_roundtrip():
+    """raw-bytes tensor encoding used by the gRPC ModelInfer RPC."""
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        infer_tensor_to_np,
+        np_to_infer_tensor,
+    )
+
+    rng = np.random.default_rng(6)
+    for arr in (
+        rng.random((2, 3, 4)).astype(np.float32),
+        rng.integers(0, 256, (1, 5, 5, 3), dtype=np.uint8),
+        np.array([3], np.int64),
+    ):
+        t = np_to_infer_tensor("x", arr)
+        back = infer_tensor_to_np(t)
+        assert back.dtype == arr.dtype
+        np.testing.assert_array_equal(back, arr)
+    # corrupted payload rejected
+    t = np_to_infer_tensor("x", np.zeros((2, 2), np.float32))
+    t.raw_data = t.raw_data[:-1]
+    with pytest.raises(ValueError, match="raw bytes"):
+        infer_tensor_to_np(t)
