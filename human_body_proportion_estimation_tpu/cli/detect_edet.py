@@ -6,6 +6,10 @@ the "modified-model" schema (pixel y1x1y2x2 + scores + 1-based classes,
 :22-37), box drawing with per-run colors, frame/video outputs. Detections
 are auto-scaled from the model input size to the displayed image
 (:136-141).
+
+`-g/--grpc_port` switches to remote mode: the driver calls the serving
+edge's named `edetlite4` model over the tensor-level ModelInfer RPC — the
+reference's client/Triton split (`obj_det_edet4_trtserver.py:53`).
 """
 
 from __future__ import annotations
@@ -30,6 +34,29 @@ from human_body_proportion_estimation_tpu.pipeline.host import (
 from human_body_proportion_estimation_tpu.utils import draw, io as media_io
 
 
+def _remote_infer_fn(grpc_target: str):
+    """Per-frame closure against the serving edge's named `edetlite4`
+    model via ModelInfer (the reference's Triton-client architecture,
+    `obj_det_edet4_trtserver.py:53` + triton_utils) — boxes come back in
+    the sent image's pixel space, scores 0 on empty slots."""
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+    )
+
+    if ":" not in grpc_target:
+        grpc_target = f"127.0.0.1:{grpc_target}"
+    client = GrpcClient(grpc_target)
+
+    def infer(model_in_u8: np.ndarray):
+        out = client.infer("edetlite4", {"image": model_in_u8[None]})
+        boxes = out["output_0"][0]
+        scores = out["output_1"][0]
+        classes = out["output_2"][0]
+        return boxes, scores, classes, scores > 0.0
+
+    return infer
+
+
 def run_demo_odet(
     media_filename: str,
     inference_mode: str = "image",
@@ -38,6 +65,7 @@ def run_demo_odet(
     detector_name: str = "efficientdet_lite4",
     debug: bool = True,
     input_hw=(480, 640),
+    grpc_target: str | None = None,
 ):
     """Detection demo; returns per-frame (boxes, scores, classes) numpy."""
     import jax
@@ -49,17 +77,29 @@ def run_demo_odet(
     )
 
     start = time.time()
-    cfg = (EFFICIENTDET_LITE0 if detector_name == "efficientdet_lite0"
-           else EFFICIENTDET_LITE4)
-    detector = EfficientDet(config=cfg)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        det_vars = detector.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, *input_hw, 3), jnp.float32),
-        )
-    det_vars = jax.device_put(det_vars, jax.devices()[0])
-    program = EdetDetectPipeline(detector, input_hw).jit()
+    if grpc_target:
+        infer_fn = _remote_infer_fn(grpc_target)
+    else:
+        cfg = (EFFICIENTDET_LITE0 if detector_name == "efficientdet_lite0"
+               else EFFICIENTDET_LITE4)
+        detector = EfficientDet(config=cfg)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            det_vars = detector.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, *input_hw, 3), jnp.float32),
+            )
+        det_vars = jax.device_put(det_vars, jax.devices()[0])
+        program = EdetDetectPipeline(detector, input_hw).jit()
+
+        def infer_fn(model_in_u8: np.ndarray):
+            dets = program(det_vars, jnp.asarray(model_in_u8[None]))
+            return (
+                np.asarray(dets.boxes[0]),
+                np.asarray(dets.scores[0]),
+                np.asarray(dets.classes[0]),
+                np.asarray(dets.valid[0]),
+            )
 
     save_dir = None
     if save_result_dir:
@@ -77,11 +117,8 @@ def run_demo_odet(
     h, w = input_hw
     for counter, frame in enumerate(frames):
         model_in = resize_for_detector(frame, w, h)
-        dets = program(det_vars, jnp.asarray(model_in[None]))
-        boxes = np.asarray(dets.boxes[0])
-        scores = np.asarray(dets.scores[0])
-        classes = np.asarray(dets.classes[0])
-        valid = np.asarray(dets.valid[0]) & (scores >= det_threshold)
+        boxes, scores, classes, valid = infer_fn(model_in)
+        valid = valid & (scores >= det_threshold)
         outputs.append((boxes[valid], scores[valid], classes[valid]))
 
         if save_dir is not None:
@@ -125,6 +162,7 @@ def main():
         save_result_dir=args.output_dir or None,
         detector_name=args.detector,
         debug=args.debug,
+        grpc_target=args.grpc_port,
     )
 
 

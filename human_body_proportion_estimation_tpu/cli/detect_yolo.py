@@ -6,6 +6,12 @@ scale_coords back, :30-44,153-154) and the serverless onnxruntime one
 (`obj_det_yolov5_onnx.py`) — in one driver: the same jit program runs on
 TPU by default or on the CPU backend with `--cpu` (the numeric-parity
 configuration, BASELINE config 1).
+
+`-g/--grpc_port` switches to remote mode — the reference's exact split:
+the named `yolov5m`/`yolov5s` model runs server-side (ModelInfer RPC
+returning the [N, 25200, 85] prediction tensor) and NMS runs CLIENT-side
+(`obj_det_yolov5_trtserver.py:40-44` does it in torch; here it is the
+same jit `yolo_nms` the in-process path uses).
 """
 
 from __future__ import annotations
@@ -30,6 +36,39 @@ from human_body_proportion_estimation_tpu.utils import draw, io as media_io
 MODEL_SIZE = 640
 
 
+def _remote_infer_fn(grpc_target: str, model_name: str,
+                     det_threshold: float, iou_threshold: float):
+    """Remote per-frame closure: model forward + decode server-side via
+    ModelInfer, NMS client-side (the reference's Triton split)."""
+    import jax
+    import jax.numpy as jnp
+
+    from human_body_proportion_estimation_tpu.ops.nms import yolo_nms
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+    )
+
+    if ":" not in grpc_target:
+        grpc_target = f"127.0.0.1:{grpc_target}"
+    client = GrpcClient(grpc_target)
+    nms_prog = jax.jit(
+        lambda p: yolo_nms(p, det_threshold, iou_threshold, 300, 512)
+    )
+
+    def infer(model_in: np.ndarray):  # [S, S, 3] f32 letterboxed /255
+        nchw = np.ascontiguousarray(
+            np.transpose(model_in[None], (0, 3, 1, 2)), dtype=np.float32
+        )
+        preds = client.infer(model_name, {"images": nchw})["output"]
+        res = nms_prog(jnp.asarray(preds[0]))
+        return (
+            np.asarray(res.valid), np.asarray(res.boxes),
+            np.asarray(res.scores), np.asarray(res.classes),
+        )
+
+    return infer
+
+
 def run_demo_odet(
     media_filename: str,
     inference_mode: str = "image",
@@ -39,6 +78,7 @@ def run_demo_odet(
     model_name: str = "yolov5m",
     use_cpu: bool = False,
     debug: bool = True,
+    grpc_target: str | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -52,18 +92,32 @@ def run_demo_odet(
     start = time.time()
     if use_cpu:
         jax.config.update("jax_platforms", "cpu")
-    cfg = YOLOV5S if model_name == "yolov5s" else YOLOV5M
-    model = YoloV5(config=cfg, dtype=jnp.float32 if use_cpu else jnp.bfloat16)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, MODEL_SIZE, MODEL_SIZE, 3), jnp.float32),
+    if grpc_target:
+        infer_fn = _remote_infer_fn(
+            grpc_target, model_name, det_threshold, iou_threshold
         )
-    variables = jax.device_put(variables, jax.devices()[0])
-    program = YoloDetectPipeline(
-        model, conf_thres=det_threshold, iou_thres=iou_threshold
-    ).jit()
+    else:
+        cfg = YOLOV5S if model_name == "yolov5s" else YOLOV5M
+        model = YoloV5(
+            config=cfg, dtype=jnp.float32 if use_cpu else jnp.bfloat16
+        )
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, MODEL_SIZE, MODEL_SIZE, 3), jnp.float32),
+            )
+        variables = jax.device_put(variables, jax.devices()[0])
+        program = YoloDetectPipeline(
+            model, conf_thres=det_threshold, iou_thres=iou_threshold
+        ).jit()
+
+        def infer_fn(model_in: np.ndarray):
+            dets = program(variables, jnp.asarray(model_in[None]))
+            return (
+                np.asarray(dets.valid[0]), np.asarray(dets.boxes[0]),
+                np.asarray(dets.scores[0]), np.asarray(dets.classes[0]),
+            )
 
     save_dir = None
     if save_result_dir:
@@ -80,11 +134,10 @@ def run_demo_odet(
     outputs: List = []
     for counter, frame in enumerate(frames):
         model_in = letterbox_host(frame, MODEL_SIZE)
-        dets = program(variables, jnp.asarray(model_in[None]))
-        valid = np.asarray(dets.valid[0])
-        boxes = np.asarray(dets.boxes[0])[valid]
-        scores = np.asarray(dets.scores[0])[valid]
-        classes = np.asarray(dets.classes[0])[valid]
+        valid, boxes, scores, classes = infer_fn(model_in)
+        boxes = boxes[valid]
+        scores = scores[valid]
+        classes = classes[valid]
         boxes = scale_boxes_to_original(
             boxes, MODEL_SIZE, frame.shape[:2]
         ) if len(boxes) else boxes
@@ -130,6 +183,7 @@ def main():
         model_name=args.model,
         use_cpu=args.cpu,
         debug=args.debug,
+        grpc_target=args.grpc_port,
     )
 
 
