@@ -230,57 +230,87 @@ class ServingApp:
             self._post_webhook(back_url, response)
         return response
 
-    def run_video(self, video_bytes: bytes, height: float, threshold: float,
-                  frame_stride: int = 1, max_frames: int = 0
-                  ) -> Dict[str, Any]:
-        """Transport-independent video core shared by the HTTP form
-        handler above and the gRPC EstimateVideo RPC."""
+    def open_video_stream(self, video_bytes: bytes, height: float,
+                          threshold: float, frame_stride: int = 1,
+                          max_frames: int = 0):
+        """Decode + pipeline a video through the batcher, yielding
+        per-frame dicts IN FRAME ORDER as results complete.
+
+        Returns (fps, iterator). A sliding window of VIDEO_CHUNK pending
+        futures keeps the device batcher fed while bounding decoded-frame
+        memory and this upload's share of the queue (concurrent image
+        requests keep interleaving). The transport-independent core under
+        the aggregate `run_video` AND the gRPC EstimateVideoStream RPC —
+        streaming is free because results were already consumed in order.
+        """
+        from collections import deque
+
         from human_body_proportion_estimation_tpu.utils.io import (
             stream_video_bytes,
         )
 
         frames, fps = stream_video_bytes(video_bytes, frame_stride)
-        per_frame: List[Dict[str, Any]] = []
-        numeric: Dict[str, List[float]] = {}
-        found_any = False
-        pending: List[tuple] = []  # (original frame index, Future)
 
-        def drain():
-            nonlocal found_any
-            for idx, fut in pending:
+        def gen():
+            pending: deque = deque()  # (original frame index, Future)
+
+            def drain_one() -> Dict[str, Any]:
+                idx, fut = pending.popleft()
                 r = fut.result()
-                d = r["body_proportion_lengths_(cm)"]
-                if r["msg"] != "No humans detected":
-                    found_any = True
-                for k, v in d.items():
-                    if isinstance(v, (int, float)):
-                        numeric.setdefault(k, []).append(float(v))
-                per_frame.append({
+                return {
                     "frame": idx,
                     "msg": r["msg"],
-                    "body_proportion_lengths_(cm)": d,
-                })
-            pending.clear()
+                    "body_proportion_lengths_(cm)":
+                        r["body_proportion_lengths_(cm)"],
+                }
 
-        for n, frame in enumerate(frames):
-            if max_frames and n >= max_frames:
-                frames.close()
-                break
-            payload = {"image": frame, "height": height,
-                       "threshold": threshold}
-            try:
-                fut = self.batcher.submit(payload)
-            except queue.Full:
-                # our own chunk may be what filled the queue — finish it
-                # and retry once before giving up (concurrent image
-                # requests then genuinely own the queue)
-                drain()
-                fut = self.batcher.submit(payload)
-            pending.append((n * frame_stride, fut))
-            if len(pending) >= self.VIDEO_CHUNK:
-                drain()
-        drain()
+            for n, frame in enumerate(frames):
+                if max_frames and n >= max_frames:
+                    frames.close()
+                    break
+                payload = {"image": frame, "height": height,
+                           "threshold": threshold}
+                try:
+                    fut = self.batcher.submit(payload)
+                except queue.Full:
+                    # our own window may be what filled the queue — finish
+                    # it and retry once before giving up (concurrent image
+                    # requests then genuinely own the queue)
+                    while pending:
+                        yield drain_one()
+                    fut = self.batcher.submit(payload)
+                pending.append((n * frame_stride, fut))
+                if len(pending) >= self.VIDEO_CHUNK:
+                    yield drain_one()
+            while pending:
+                yield drain_one()
 
+        return fps, gen()
+
+    def run_video(self, video_bytes: bytes, height: float, threshold: float,
+                  frame_stride: int = 1, max_frames: int = 0
+                  ) -> Dict[str, Any]:
+        """Transport-independent video aggregate shared by the HTTP form
+        handler above and the gRPC EstimateVideo RPC."""
+        fps, it = self.open_video_stream(
+            video_bytes, height, threshold, frame_stride, max_frames
+        )
+        per_frame = list(it)
+        return self.summarize_video(per_frame, fps, frame_stride)
+
+    @staticmethod
+    def summarize_video(per_frame: List[Dict[str, Any]], fps: float,
+                        frame_stride: int) -> Dict[str, Any]:
+        """Aggregate per-frame results into the video response shape
+        (median across frames per segment)."""
+        numeric: Dict[str, List[float]] = {}
+        found_any = False
+        for f in per_frame:
+            if f["msg"] != "No humans detected":
+                found_any = True
+            for k, v in f["body_proportion_lengths_(cm)"].items():
+                if isinstance(v, (int, float)):
+                    numeric.setdefault(k, []).append(float(v))
         summary = {
             k: float(np.median(v)) for k, v in sorted(numeric.items())
         }
