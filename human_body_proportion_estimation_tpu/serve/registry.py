@@ -78,7 +78,15 @@ class TensorSpec:
 
 @dataclass
 class ModelEntry:
-    """One named model: metadata + a lazily built numpy runner."""
+    """One named model: metadata + a lazily built numpy runner.
+
+    Batched models (max_batch_size > 0) get per-model dynamic batching —
+    Triton's `dynamic_batching` config behavior (reference README :71-80):
+    concurrent ModelInfer requests coalesce along the batch dim into ONE
+    device launch after at most `batch_timeout_ms`, then results split
+    back per request. Fixed-signature models (max_batch_size == 0)
+    dispatch directly.
+    """
 
     name: str
     platform: str               # descriptive ("jax_xla"), Triton-config analog
@@ -87,8 +95,11 @@ class ModelEntry:
     max_batch_size: int         # 0 = no batch dim (fixed batch-1 signature)
     weights: str                # "real" | "random"
     build: Callable[[], Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]]
+    batch_timeout_ms: float = 4.0
     _runner: Optional[Callable] = field(default=None, repr=False)
+    _batcher: Optional[Any] = field(default=None, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    batches_run: int = 0        # observability: device launches so far
 
     @property
     def loaded(self) -> bool:
@@ -100,6 +111,50 @@ class ModelEntry:
                 if self._runner is None:
                     self._runner = self.build()
         return self._runner
+
+    def _run_coalesced(
+        self, payloads: List[Dict[str, np.ndarray]]
+    ) -> List[Dict[str, np.ndarray]]:
+        """Batcher runner: concatenate queued requests along the batch
+        dim, one device launch, split results back per request."""
+        run = self.runner()
+        self.batches_run += 1
+        if len(payloads) == 1:
+            return [run(payloads[0])]
+        sizes = [next(iter(p.values())).shape[0] for p in payloads]
+        concat = {
+            name: np.concatenate([p[name] for p in payloads])
+            for name in payloads[0]
+        }
+        out = run(concat)
+        results: List[Dict[str, np.ndarray]] = []
+        off = 0
+        for n in sizes:
+            results.append({k: v[off:off + n] for k, v in out.items()})
+            off += n
+        return results
+
+    def dispatch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.max_batch_size <= 0:
+            return self.runner()(inputs)
+        if self._batcher is None:
+            with self._lock:
+                if self._batcher is None:
+                    from human_body_proportion_estimation_tpu.serve.batching import (  # noqa: E501
+                        DynamicBatcher,
+                    )
+
+                    self._batcher = DynamicBatcher(
+                        self._run_coalesced,
+                        max_batch=self.max_batch_size,
+                        batch_timeout_ms=self.batch_timeout_ms,
+                    )
+        return self._batcher.infer(inputs)
+
+    def shutdown(self):
+        if self._batcher is not None:
+            self._batcher.shutdown()
+            self._batcher = None
 
 
 class ModelRegistry:
@@ -202,7 +257,7 @@ class ModelRegistry:
                     f"batch {b} exceeds model '{name}' "
                     f"max_batch_size {m.max_batch_size}"
                 )
-        out = m.runner()(coerced)
+        out = m.dispatch(coerced)
         if output_names:
             bad = set(output_names) - set(out)
             if bad:
@@ -218,6 +273,10 @@ class ModelRegistry:
                 f"model '{name}' not found; repository has {self.names()}"
             )
         return self._models[name]
+
+    def shutdown(self):
+        for m in self._models.values():
+            m.shutdown()
 
 
 # --------------------------------------------------------------------- #
@@ -314,6 +373,7 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
         max_batch_size=max_batch,
         weights=weights,
         build=build,
+        batch_timeout_ms=cfg.serve.batch_timeout_ms,
     )
 
 
@@ -377,6 +437,7 @@ def _higherhrnet_entry(cfg, weights: str = "random") -> ModelEntry:
         max_batch_size=max_batch,
         weights=weights,
         build=build,
+        batch_timeout_ms=cfg.serve.batch_timeout_ms,
     )
 
 
@@ -439,6 +500,7 @@ def _yolo_entry(cfg, variant: str = "yolov5m",
         max_batch_size=max_batch,
         weights=weights,
         build=build,
+        batch_timeout_ms=cfg.serve.batch_timeout_ms,
     )
 
 

@@ -343,6 +343,8 @@ class ServingApp:
 
     def shutdown(self):
         self.batcher.shutdown()
+        if getattr(self, "_registry", None) is not None:
+            self._registry.shutdown()
 
 
 def _json_default(o):

@@ -236,6 +236,41 @@ def test_validation_errors(pipeline_and_registry):
         reg.infer("hrnet", {"input": x}, ["nope"])
 
 
+def test_per_model_dynamic_batching(pipeline_and_registry):
+    """Concurrent ModelInfer requests to a batched model coalesce into
+    fewer device launches (Triton dynamic_batching semantics) with
+    per-request results identical to the equivalent combined batch."""
+    import concurrent.futures as cf
+
+    pipe, reg = pipeline_and_registry
+    entry = reg._models["hrnet"]
+    entry.batch_timeout_ms = 100.0  # generous window so all 4 coalesce
+    entry.shutdown()                # drop any batcher built with old timeout
+    rng = np.random.default_rng(9)
+    xs = [rng.random((1, 3, 64, 64), np.float32) for _ in range(4)]
+
+    # direct combined batch: the oracle for per-row results (the same
+    # padded bucket the coalesced launch uses)
+    combined = reg.infer("hrnet", {"input": np.concatenate(xs)})["output"]
+
+    before = entry.batches_run
+    with cf.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(
+            lambda x: reg.infer("hrnet", {"input": x})["output"], xs
+        ))
+    launches = entry.batches_run - before
+    assert launches < 4, f"no coalescing: {launches} launches for 4 requests"
+    for i, out in enumerate(outs):
+        assert out.shape == (1, 17, 16, 16)
+        # rows from a fully coalesced launch are bitwise equal to the
+        # combined batch; partially coalesced launches may land in a
+        # different pow2 bucket -> bf16 fusion noise, so allow tolerance
+        np.testing.assert_allclose(
+            out[0], combined[i], atol=0.05 * float(np.abs(combined).max())
+        )
+    entry.shutdown()
+
+
 def test_wire_tensor_roundtrip():
     """raw-bytes tensor encoding used by the gRPC ModelInfer RPC."""
     from human_body_proportion_estimation_tpu.serve.grpc_server import (
