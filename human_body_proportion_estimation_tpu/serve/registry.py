@@ -156,6 +156,15 @@ class ModelEntry:
             self._batcher.shutdown()
             self._batcher = None
 
+    def unload(self):
+        """Drop the runner (and its device params, unless shared with the
+        serving pipeline) + batcher; the next inference rebuilds."""
+        with self._lock:
+            if self._batcher is not None:
+                self._batcher.shutdown()
+                self._batcher = None
+            self._runner = None
+
 
 class ModelRegistry:
     """Name -> ModelEntry map with Triton-shaped introspection + dispatch."""
@@ -273,6 +282,18 @@ class ModelRegistry:
                 f"model '{name}' not found; repository has {self.names()}"
             )
         return self._models[name]
+
+    def load(self, name: str) -> None:
+        """Eagerly build a model's runner (params + program objects) —
+        Triton's explicit load_model repository-control RPC. The first
+        inference still pays its batch bucket's XLA compile."""
+        self._get(name).runner()
+
+    def unload(self, name: str) -> None:
+        """Triton's unload_model: free the lazily built runner (device
+        params are released unless shared with the serving pipeline);
+        the model stays registered and reloads on next use."""
+        self._get(name).unload()
 
     def shutdown(self):
         for m in self._models.values():

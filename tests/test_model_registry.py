@@ -271,6 +271,28 @@ def test_per_model_dynamic_batching(pipeline_and_registry):
     entry.shutdown()
 
 
+def test_explicit_load_unload(pipeline_and_registry):
+    """Triton repository-control semantics: load eagerly builds, unload
+    frees (model stays registered), inference after unload reloads."""
+    _, reg = pipeline_and_registry
+
+    def loaded(name):
+        return {r["name"]: r["loaded"] for r in reg.index()}[name]
+
+    reg.load("higherhrnet")
+    assert loaded("higherhrnet")
+    reg.unload("higherhrnet")
+    assert not loaded("higherhrnet")
+    # still servable: next inference rebuilds transparently
+    x = np.zeros((1, 3, 64, 64), np.float32)
+    out = reg.infer("higherhrnet", {"input": x})
+    assert out["output_2"].shape == (1, 17, 32, 32)
+    assert loaded("higherhrnet")
+    reg.unload("higherhrnet")
+    with pytest.raises(KeyError):
+        reg.unload("nope")
+
+
 def test_wire_tensor_roundtrip():
     """raw-bytes tensor encoding used by the gRPC ModelInfer RPC."""
     from human_body_proportion_estimation_tpu.serve.grpc_server import (
