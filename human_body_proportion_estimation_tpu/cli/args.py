@@ -59,11 +59,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="subject height in cm for pixel->cm scaling")
     p.add_argument("-g", "--grpc_port", default=None,
                    help="serving-edge gRPC port or host:port — when set, "
-                        "drivers that support remote mode (pose_est) call "
-                        "the named model over the tensor-level ModelInfer "
-                        "RPC instead of running in-process (the "
-                        "reference's Triton-port semantics); other "
-                        "drivers ignore it")
+                        "pose_est, detect_edet, and detect_yolo call the "
+                        "named model over the tensor-level ModelInfer RPC "
+                        "instead of running in-process (the reference's "
+                        "Triton-port semantics); the remaining drivers "
+                        "ignore it")
     p.add_argument("--detector", default="efficientdet_lite4",
                    choices=("efficientdet_lite4", "efficientdet_lite0"))
     p.add_argument("--checkpoint-dir", default=None)

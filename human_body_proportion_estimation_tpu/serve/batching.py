@@ -136,6 +136,20 @@ class DynamicBatcher:
         self._stopping = True
         self._queue.put(None)
         self._thread.join(timeout=5)
+        # fail anything still queued (items behind the sentinel, or left
+        # when the collector exits) so no caller blocks forever on a
+        # future that will never resolve; queue.get_nowait is thread-safe
+        # against a collector that outlived the join timeout — an item
+        # goes to exactly one side either way
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("batcher is shut down")
+                )
 
     # ------------------------------------------------------------------ #
 

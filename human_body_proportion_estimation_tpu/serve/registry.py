@@ -96,6 +96,9 @@ class ModelEntry:
     weights: str                # "real" | "random"
     build: Callable[[], Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]]
     batch_timeout_ms: float = 4.0
+    # hook invoked after unload() (e.g. releasing a core shared between
+    # sibling entries once none of them is loaded)
+    on_unload: Optional[Callable[[], None]] = None
     _runner: Optional[Callable] = field(default=None, repr=False)
     _batcher: Optional[Any] = field(default=None, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -116,40 +119,83 @@ class ModelEntry:
         self, payloads: List[Dict[str, np.ndarray]]
     ) -> List[Dict[str, np.ndarray]]:
         """Batcher runner: concatenate queued requests along the batch
-        dim, one device launch, split results back per request."""
+        dim and split results back per request. Requests are grouped by
+        their non-batch dims (dynamic-dim models may legally mix input
+        sizes) and each group is chunked so a combined launch never
+        exceeds max_batch_size rows — the batcher itself counts requests,
+        not rows, so multi-row requests would otherwise coalesce past the
+        advertised cap into a brand-new (non-bucket) XLA compile."""
         run = self.runner()
-        self.batches_run += 1
-        if len(payloads) == 1:
-            return [run(payloads[0])]
-        sizes = [next(iter(p.values())).shape[0] for p in payloads]
-        concat = {
-            name: np.concatenate([p[name] for p in payloads])
-            for name in payloads[0]
-        }
-        out = run(concat)
-        results: List[Dict[str, np.ndarray]] = []
-        off = 0
-        for n in sizes:
-            results.append({k: v[off:off + n] for k, v in out.items()})
-            off += n
-        return results
+        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(payloads)
+
+        def launch(idxs: List[int]) -> None:
+            self.batches_run += 1
+            if len(idxs) == 1:
+                results[idxs[0]] = run(payloads[idxs[0]])
+                return
+            sizes = [next(iter(payloads[i].values())).shape[0]
+                     for i in idxs]
+            concat = {
+                name: np.concatenate([payloads[i][name] for i in idxs])
+                for name in payloads[idxs[0]]
+            }
+            out = run(concat)
+            off = 0
+            for i, n in zip(idxs, sizes):
+                results[i] = {k: v[off:off + n] for k, v in out.items()}
+                off += n
+
+        groups: Dict[Any, List[int]] = {}
+        for i, p in enumerate(payloads):
+            key = tuple(sorted((k, v.shape[1:]) for k, v in p.items()))
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            chunk: List[int] = []
+            rows = 0
+            for i in idxs:
+                n = next(iter(payloads[i].values())).shape[0]
+                if chunk and rows + n > self.max_batch_size:
+                    launch(chunk)
+                    chunk, rows = [], 0
+                chunk.append(i)
+                rows += n
+            if chunk:
+                launch(chunk)
+        return results  # every index filled: groups partition the payloads
 
     def dispatch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self.max_batch_size <= 0:
             return self.runner()(inputs)
-        if self._batcher is None:
-            with self._lock:
-                if self._batcher is None:
-                    from human_body_proportion_estimation_tpu.serve.batching import (  # noqa: E501
-                        DynamicBatcher,
-                    )
+        # read the batcher reference ONCE per attempt — an unload() racing
+        # this call may null the field; a request that lands in a batcher
+        # being shut down gets a clean "shut down" error and retries on a
+        # fresh one
+        for _ in range(2):
+            batcher = self._batcher
+            if batcher is None:
+                with self._lock:
+                    if self._batcher is None:
+                        from human_body_proportion_estimation_tpu.serve.batching import (  # noqa: E501
+                            DynamicBatcher,
+                        )
 
-                    self._batcher = DynamicBatcher(
-                        self._run_coalesced,
-                        max_batch=self.max_batch_size,
-                        batch_timeout_ms=self.batch_timeout_ms,
-                    )
-        return self._batcher.infer(inputs)
+                        self._batcher = DynamicBatcher(
+                            self._run_coalesced,
+                            max_batch=self.max_batch_size,
+                            batch_timeout_ms=self.batch_timeout_ms,
+                        )
+                    batcher = self._batcher
+            try:
+                return batcher.infer(inputs)
+            except RuntimeError as e:
+                if "shut down" not in str(e):
+                    raise
+                with self._lock:
+                    if self._batcher is batcher:
+                        self._batcher = None
+        raise RuntimeError(
+            f"model '{self.name}' is being unloaded; retry the request"
+        )
 
     def shutdown(self):
         if self._batcher is not None:
@@ -160,10 +206,14 @@ class ModelEntry:
         """Drop the runner (and its device params, unless shared with the
         serving pipeline) + batcher; the next inference rebuilds."""
         with self._lock:
-            if self._batcher is not None:
-                self._batcher.shutdown()
-                self._batcher = None
+            batcher, self._batcher = self._batcher, None
             self._runner = None
+        if batcher is not None:
+            # outside the lock: shutdown drains + fails queued futures and
+            # may wait on an in-flight launch
+            batcher.shutdown()
+        if self.on_unload is not None:
+            self.on_unload()
 
 
 class ModelRegistry:
@@ -306,10 +356,14 @@ class ModelRegistry:
 
 
 def _pad_pow2(n: int, cap: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return min(max(b, 1), max(cap, n))
+    """Power-of-two batch bucket — the serving pipeline's policy
+    (pipeline/host.py:_pad_batch), reused so bucket fixes stay single-
+    sourced."""
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        _pad_batch,
+    )
+
+    return _pad_batch(n, cap)
 
 
 def _device_put_default(tree):
@@ -332,9 +386,11 @@ def _init_on_cpu(fn):
 def _resize_u8(img: np.ndarray, width: int, height: int) -> np.ndarray:
     if img.shape[0] == height and img.shape[1] == width:
         return img
-    import cv2
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        resize_for_detector,
+    )
 
-    return cv2.resize(img, (width, height)).astype(np.uint8)
+    return resize_for_detector(img, width, height)
 
 
 def _hrnet_entry(cfg, pose=None, pose_vars=None,
@@ -731,7 +787,7 @@ def _edet_entries(cfg, det_config, detector=None, det_vars=None,
         TensorSpec("det_xy_change", "FP32", (2,)),
     ]
     nd = 100  # EfficientDet max_detections (conv.py:16-18 "100,4")
-    return [
+    entries = [
         ModelEntry(
             name="edetlite4",
             platform="jax_xla",
@@ -778,6 +834,19 @@ def _edet_entries(cfg, det_config, detector=None, det_vars=None,
             build=build_ensemble,
         ),
     ]
+
+    def release_core():
+        # the three entries share one lazily built detector core; free it
+        # (params included, unless they came from the serving pipeline)
+        # only when NONE of them still holds a runner — per-entry unload
+        # alone cannot release memory a sibling is using
+        with lock:
+            if not any(e.loaded for e in entries):
+                state.pop("core", None)
+
+    for e in entries:
+        e.on_unload = release_core
+    return entries
 
 
 def build_registry(pipeline=None, config=None,

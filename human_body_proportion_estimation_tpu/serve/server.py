@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import queue
+import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List
@@ -85,6 +86,8 @@ class ServingApp:
         # ships no equivalent, Triton metrics disabled)
         self.stages = StageTimer()
         pipeline.stages = self.stages
+        self._registry = None
+        self._registry_lock = threading.Lock()
         serve_cfg = self.config.serve
         self.native = False
         if serve_cfg.native_batcher:
@@ -116,13 +119,18 @@ class ServingApp:
         """Named-model repository (Triton model-repo role): lazily built
         so domain-endpoint-only deployments pay nothing; shares the
         serving pipeline's loaded params where the models match
-        (serve/registry.py)."""
+        (serve/registry.py). Lock-guarded: concurrent first ModelInfer
+        RPCs on the gRPC thread pool must not build two registries (the
+        loser's per-model batcher threads/params would leak past
+        shutdown)."""
         if getattr(self, "_registry", None) is None:
-            from human_body_proportion_estimation_tpu.serve.registry import (
-                build_registry,
-            )
+            with self._registry_lock:
+                if getattr(self, "_registry", None) is None:
+                    from human_body_proportion_estimation_tpu.serve.registry import (  # noqa: E501
+                        build_registry,
+                    )
 
-            self._registry = build_registry(self.pipeline)
+                    self._registry = build_registry(self.pipeline)
         return self._registry
 
     def metrics_snapshot(self) -> Dict[str, Any]:

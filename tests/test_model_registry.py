@@ -293,6 +293,43 @@ def test_explicit_load_unload(pipeline_and_registry):
         reg.unload("nope")
 
 
+def test_coalescing_respects_row_cap_and_shape_groups():
+    """_run_coalesced must (a) never combine more rows than
+    max_batch_size into one launch — the batcher caps request count, not
+    rows — and (b) group by non-batch dims so dynamic-dim models can mix
+    input sizes in one window without a concatenate crash."""
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        ModelEntry,
+        TensorSpec,
+    )
+
+    launches = []
+
+    def build():
+        def run(inputs):
+            launches.append(inputs["x"].shape)
+            return {"y": inputs["x"] * 2.0}
+
+        return run
+
+    e = ModelEntry(
+        name="m", platform="test",
+        inputs=[TensorSpec("x", "FP32", (-1, -1))],
+        outputs=[TensorSpec("y", "FP32", (-1, -1))],
+        max_batch_size=4, weights="random", build=build,
+    )
+    payloads = [
+        {"x": np.full((2, 4), 0, np.float32)},
+        {"x": np.full((2, 4), 1, np.float32)},
+        {"x": np.full((1, 4), 2, np.float32)},   # 2+2+1 > 4 -> two launches
+        {"x": np.full((2, 8), 3, np.float32)},   # different dims -> own group
+    ]
+    results = e._run_coalesced(payloads)
+    assert sorted(launches) == [(1, 4), (2, 8), (4, 4)]
+    for p, r in zip(payloads, results):
+        np.testing.assert_array_equal(r["y"], p["x"] * 2.0)
+
+
 def test_wire_tensor_roundtrip():
     """raw-bytes tensor encoding used by the gRPC ModelInfer RPC."""
     from human_body_proportion_estimation_tpu.serve.grpc_server import (
