@@ -178,6 +178,113 @@ def run_grpc_sweep(
     return results
 
 
+def _random_model_inputs(meta: Dict, batch_size: int) -> Dict:
+    """Random tensors from model metadata — perf_analyzer's method
+    exactly (README :82-87: random input, batch 1, per-model): -1 batch
+    dims take `batch_size`, other dynamic dims fall back to 300 (the
+    1x300x300x3 default the reference quotes)."""
+    import numpy as np
+
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        TRITON_TO_NP,
+    )
+
+    rng = np.random.default_rng(0)
+    inputs = {}
+    for t in meta["inputs"]:
+        shape = list(t["shape"])
+        for i, d in enumerate(shape):
+            if d == -1:
+                shape[i] = (batch_size
+                            if i == 0 and meta["max_batch_size"] > 0
+                            else 300)
+        dtype = TRITON_TO_NP[t["datatype"]]
+        if dtype == np.uint8:
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        elif np.issubdtype(dtype, np.floating):
+            arr = rng.random(shape).astype(dtype)
+        else:
+            arr = np.zeros(shape, dtype)
+        inputs[t["name"]] = arr
+    return inputs
+
+
+def run_model_level(target: str, model: str, concurrency: int,
+                    seconds: float, inputs: Dict) -> Dict:
+    """One concurrency level of tensor-level ModelInfer against a named
+    model — the actual perf_analyzer recipe (`perf_analyzer -m <model>
+    --concurrency-range ...`, reference README :82-87)."""
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+    )
+
+    latencies: List[float] = []
+    errors = [0]
+    stop = time.perf_counter() + seconds
+    lock = threading.Lock()
+
+    def worker():
+        client = GrpcClient(target)
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                client.infer(model, inputs)
+                ok = True
+            except Exception:
+                ok = False
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+                if not ok:
+                    errors[0] += 1
+        client.close()
+
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    return {
+        "transport": "grpc_model_infer",
+        "model": model,
+        "concurrency": concurrency,
+        "requests": len(latencies),
+        "errors": errors[0],
+        "throughput_rps": len(latencies) / wall,
+        "latency_ms_p50": 1e3 * _pct(latencies, 50),
+        "latency_ms_p95": 1e3 * _pct(latencies, 95),
+        "latency_ms_p99": 1e3 * _pct(latencies, 99),
+    }
+
+
+def run_model_sweep(
+    target: str, model: str, concurrency_spec: str = "5:20:5",
+    seconds: float = 10.0, batch_size: int = 1, warmup_requests: int = 3,
+) -> List[Dict]:
+    """perf_analyzer -m <model>: metadata-driven random inputs, per-model
+    concurrency sweep over ModelInfer."""
+    from human_body_proportion_estimation_tpu.serve.grpc_server import (
+        GrpcClient,
+    )
+
+    client = GrpcClient(target)
+    meta = client.model_metadata(model)
+    inputs = _random_model_inputs(meta, batch_size)
+    for _ in range(warmup_requests):  # lazy load + bucket compiles
+        client.infer(model, inputs, timeout=1800)
+    client.close()
+
+    lo, hi, step = (int(x) for x in concurrency_spec.split(":"))
+    results = []
+    for c in range(lo, hi + 1, step):
+        r = run_model_level(target, model, c, seconds, inputs)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def run_sweep(
     url: str, concurrency_spec: str = "5:20:5", seconds: float = 10.0,
     warmup_requests: int = 3, input_hw=(300, 300),
@@ -217,8 +324,19 @@ def main():
     parser.add_argument("--grpc", default=None, metavar="HOST:PORT",
                         help="sweep the gRPC edge instead of HTTP "
                              "(perf_analyzer's own transport)")
+    parser.add_argument("--model", default=None,
+                        help="sweep tensor-level ModelInfer against this "
+                             "named repository model (perf_analyzer -m "
+                             "<model> parity; requires --grpc for the "
+                             "target address)")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="request batch for --model sweeps "
+                             "(perf_analyzer default: 1)")
     args = parser.parse_args()
-    if args.grpc:
+    if args.model:
+        run_model_sweep(args.grpc or "127.0.0.1:8081", args.model,
+                        args.concurrency, args.seconds, args.batch_size)
+    elif args.grpc:
         run_grpc_sweep(args.grpc, args.concurrency, args.seconds)
     else:
         run_sweep(args.url, args.concurrency, args.seconds)

@@ -106,3 +106,24 @@ def tiny_server_with_grpc():
     yield port
     server.stop(0)
     app.shutdown()
+
+
+def test_model_infer_sweep(tiny_server_with_grpc):
+    """perf_analyzer -m <model> parity: metadata-driven random inputs,
+    tensor-level ModelInfer concurrency sweep against the named hrnet
+    model."""
+    from human_body_proportion_estimation_tpu.serve.perf import (
+        run_model_sweep,
+    )
+
+    results = run_model_sweep(
+        f"127.0.0.1:{tiny_server_with_grpc}", "hrnet", "1:2:1",
+        seconds=2.0, warmup_requests=1,
+    )
+    assert [r["concurrency"] for r in results] == [1, 2]
+    for r in results:
+        assert r["transport"] == "grpc_model_infer"
+        assert r["model"] == "hrnet"
+        assert r["errors"] == 0
+        assert r["requests"] > 0
+        assert r["latency_ms_p95"] >= r["latency_ms_p50"] > 0
