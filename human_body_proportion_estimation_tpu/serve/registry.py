@@ -333,6 +333,17 @@ class ModelRegistry:
             )
         return self._models[name]
 
+    def stats(self) -> Dict[str, Dict[str, Any]]:
+        """Per-model observability for /metrics: loaded state + device
+        launches so far (coalesced batches count as one)."""
+        return {
+            n: {
+                "loaded": self._models[n].loaded,
+                "batches_run": self._models[n].batches_run,
+            }
+            for n in self.names()
+        }
+
     def load(self, name: str) -> None:
         """Eagerly build a model's runner (params + program objects) —
         Triton's explicit load_model repository-control RPC. The first

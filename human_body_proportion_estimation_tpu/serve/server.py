@@ -135,6 +135,10 @@ class ServingApp:
 
     def metrics_snapshot(self) -> Dict[str, Any]:
         stages = {"stages": self.stages.snapshot()}
+        if self._registry is not None:
+            # per-named-model stats — only once the repository has been
+            # touched (reading /metrics must not trigger its lazy build)
+            stages["models"] = self._registry.stats()
         if self.native:
             m = self.batcher.metrics_json()
             # unified key set across engines

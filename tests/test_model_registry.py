@@ -293,6 +293,16 @@ def test_explicit_load_unload(pipeline_and_registry):
         reg.unload("nope")
 
 
+def test_registry_stats(pipeline_and_registry):
+    _, reg = pipeline_and_registry
+    stats = reg.stats()
+    assert set(stats) == REFERENCE_MODELS
+    # hrnet has been inferred by earlier tests in this module
+    assert stats["hrnet"]["loaded"] is True
+    assert stats["hrnet"]["batches_run"] >= 1
+    assert stats["yolov5m"] == {"loaded": False, "batches_run": 0}
+
+
 def test_coalescing_respects_row_cap_and_shape_groups():
     """_run_coalesced must (a) never combine more rows than
     max_batch_size into one launch — the batcher caps request count, not

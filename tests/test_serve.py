@@ -345,6 +345,9 @@ def test_metrics_and_health(served_app):
                 "device_compute_readback"):
         assert stages[key]["count"] >= 1, key
         assert stages[key]["mean_ms"] >= 0.0
+    # reading /metrics must not trigger the lazy model-registry build —
+    # per-model stats appear only once the repository has been touched
+    assert "models" not in metrics
 
 
 def test_concurrent_requests_batched(served_app):
