@@ -465,11 +465,14 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
     )
 
 
-def _higherhrnet_entry(cfg, weights: str = "random") -> ModelEntry:
+def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
+                       weights: str = "random") -> ModelEntry:
     """`higherhrnet`: f32 NCHW image -> "output_1" (K heatmaps + K AE tags,
     1/4 res) and "output_2" (K heatmaps, 1/2 res) — the tensor contract the
-    reference reads (pose_est_hrnet_trtserver.py:26-28 uses output_2 only;
-    output_1 carries the AE tags the bottom-up pipeline consumes)."""
+    reference reads (pose_est_hrnet_trtserver.py:22-28 uses output_2 only;
+    output_1 carries the AE tags the bottom-up pipeline consumes). When the
+    server runs `--bottom-up`, the pipeline's own HigherHRNet + params are
+    shared (BottomUpPipeline.model is the bare module)."""
     k = cfg.pose.num_keypoints
     max_batch = cfg.serve.max_batch
 
@@ -481,12 +484,15 @@ def _higherhrnet_entry(cfg, weights: str = "random") -> ModelEntry:
             HigherHRNet,
         )
 
-        model = HigherHRNet()
-        variables = _init_on_cpu(
-            lambda rng: model.init(
-                rng, jnp.zeros((1, 128, 128, 3), jnp.float32)
+        model = pose
+        variables = pose_vars
+        if model is None:
+            model = HigherHRNet()
+            variables = _init_on_cpu(
+                lambda rng: model.init(
+                    rng, jnp.zeros((1, 128, 128, 3), jnp.float32)
+                )
             )
-        )
 
         def program(v, x_nchw):
             x = jnp.transpose(x_nchw, (0, 2, 3, 1))
@@ -878,10 +884,16 @@ def build_registry(pipeline=None, config=None,
 
     cfg = config
     pose = pose_vars = None
+    hh = hh_vars = None
     det = det_vars = None
     det_config = EFFICIENTDET_LITE4
     det_weights = pose_weights = "random"
+    hh_weights = "random"
     if pipeline is not None:
+        from human_body_proportion_estimation_tpu.models.higherhrnet import (
+            HigherHRNet,
+        )
+
         cfg = cfg or getattr(pipeline, "config", None)
         origin = getattr(pipeline, "weights_origin", {})
         p_pose = getattr(pipeline, "pose", None)
@@ -889,6 +901,13 @@ def build_registry(pipeline=None, config=None,
             pose = p_pose
             pose_vars = pipeline.pose_vars
             pose_weights = origin.get("pose", "random")
+        # BottomUpPipeline serves the bare HigherHRNet as `.model` —
+        # share it (and its possibly real params) with the registry slot
+        p_model = getattr(pipeline, "model", None)
+        if isinstance(p_model, HigherHRNet):
+            hh = p_model
+            hh_vars = pipeline.pose_vars
+            hh_weights = origin.get("pose", "random")
         backend = getattr(pipeline, "backend", None)
         det_model = getattr(backend, "detector", None)
         if det_model is not None and not getattr(
@@ -916,7 +935,7 @@ def build_registry(pipeline=None, config=None,
     reg = ModelRegistry()
     entries = [
         _hrnet_entry(cfg, pose, pose_vars, pose_weights),
-        _higherhrnet_entry(cfg),
+        _higherhrnet_entry(cfg, hh, hh_vars, hh_weights),
         _yolo_entry(cfg, "yolov5m"),
         _yolo_entry(cfg, "yolov5s"),
         *_edet_entries(

@@ -293,6 +293,39 @@ def test_explicit_load_unload(pipeline_and_registry):
         reg.unload("nope")
 
 
+def test_higherhrnet_shares_bottomup_pipeline_params():
+    """A --bottom-up server's registry must serve the PIPELINE's
+    HigherHRNet params through the named slot (BottomUpPipeline.model is
+    the bare module — no rewrap needed). Seeded away from the registry's
+    standalone fallback so sharing is observable."""
+    import jax
+    import jax.numpy as jnp
+
+    from human_body_proportion_estimation_tpu.pipeline.bottomup import (
+        BottomUpPipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        build_registry,
+    )
+
+    pipe = BottomUpPipeline(config=tiny_config(), rng_seed=5)
+    reg = build_registry(pipe, include=["higherhrnet"])
+    rng = np.random.default_rng(10)
+    x = rng.random((1, 3, 64, 64), np.float32)
+    out = reg.infer("higherhrnet", {"input": x})
+
+    def direct_program(v, t):
+        o = pipe.model.apply(v, jnp.transpose(t, (0, 2, 3, 1)))
+        return (jnp.moveaxis(o["output_1"], -1, 1),
+                jnp.moveaxis(o["output_2"], -1, 1))
+
+    d1, d2 = jax.jit(direct_program)(pipe.pose_vars, jnp.asarray(x))
+    np.testing.assert_allclose(out["output_1"], np.asarray(d1),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(out["output_2"], np.asarray(d2),
+                               rtol=0, atol=0)
+
+
 def test_registry_stats(pipeline_and_registry):
     _, reg = pipeline_and_registry
     stats = reg.stats()
