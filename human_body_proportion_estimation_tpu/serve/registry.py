@@ -16,6 +16,11 @@ from every driver:
     [B, 25200, 85] (`:41`).
   * ``hrnet`` / ``higherhrnet`` (`pose_est_hrnet_trtserver.py:22-28`) —
     ``output`` / ``output_1``+``output_2`` heatmap tensors.
+  * ``ssd_mobilenet`` — beyond-reference slot: the reference runs its
+    TFLite alternative detector client-side (`modules/human_detector.py`),
+    not in Triton; registered here with the TFLite_Detection_PostProcess
+    wire contract so tensor-level clients get an always-REAL-weights
+    model (the checked-in ssd.tflite).
 
 Clients introspect each model's inputs/outputs/max_batch_size before
 building requests (`modules/triton_utils.py:54-72` ``parse_model_grpc``).
@@ -535,11 +540,13 @@ def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
     )
 
 
-def _yolo_entry(cfg, variant: str = "yolov5m",
-                weights: str = "random") -> ModelEntry:
+def _yolo_entry(cfg, variant: str = "yolov5m", shared_model=None,
+                shared_vars=None, weights: str = "random") -> ModelEntry:
     """`yolov5m`/`yolov5s`: "images" f32 NCHW [B,3,640,640] (already /255,
     reference obj_det_yolov5_trtserver.py:30-37) -> "output" [B, 25200, 85]
-    decoded predictions (the layout its postprocess reads, :40-44)."""
+    decoded predictions (the layout its postprocess reads, :40-44). When
+    the server's detector is the matching YoloBackend, its model + params
+    are shared."""
     size = 640
     max_batch = cfg.serve.max_batch
 
@@ -555,15 +562,18 @@ def _yolo_entry(cfg, variant: str = "yolov5m",
             decode_predictions,
         )
 
-        variants = {
-            "yolov5s": YOLOV5S, "yolov5m": YOLOV5M, "yolov5l": YOLOV5L,
-        }
-        model = YoloV5(config=variants[variant])
-        variables = _init_on_cpu(
-            lambda rng: model.init(
-                rng, jnp.zeros((1, size, size, 3), jnp.float32)
+        model = shared_model
+        variables = shared_vars
+        if model is None:
+            variants = {
+                "yolov5s": YOLOV5S, "yolov5m": YOLOV5M, "yolov5l": YOLOV5L,
+            }
+            model = YoloV5(config=variants[variant])
+            variables = _init_on_cpu(
+                lambda rng: model.init(
+                    rng, jnp.zeros((1, size, size, 3), jnp.float32)
+                )
             )
-        )
 
         def program(v, x_nchw):
             x = jnp.transpose(x_nchw, (0, 2, 3, 1))
@@ -595,6 +605,79 @@ def _yolo_entry(cfg, variant: str = "yolov5m",
         weights=weights,
         build=build,
         batch_timeout_ms=cfg.serve.batch_timeout_ms,
+    )
+
+
+def _ssd_entry(cfg, model=None, det_vars=None) -> ModelEntry:
+    """`ssd_mobilenet`: the reference's TFLite alternative detector as a
+    repository model — the one slot whose weights are ALWAYS real (the
+    checked-in ssd.tflite, reference `modules/human_detector.py:10`).
+    The wire contract mirrors TFLite_Detection_PostProcess outputs the
+    reference reads (`human_detector.py:31-38`): normalized y1x1y2x2
+    boxes, 0-based background-stripped classes (person == 0), scores,
+    num_detections. Beyond-reference as a *named* model: the reference
+    runs this detector client-side, not in Triton — registered here so
+    tensor-level clients get a real-weight slot."""
+    nd = 10  # TFLite_Detection_PostProcess max_detections
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from human_body_proportion_estimation_tpu.models.ssd_mobilenet import (
+            SSDMobileNetV1,
+            ssd_postprocess,
+        )
+
+        net = model
+        variables = det_vars
+        if net is None:
+            from human_body_proportion_estimation_tpu.models.tflite_import import (  # noqa: E501
+                load_ssd_weights,
+            )
+
+            net = SSDMobileNetV1()
+            v, anchors = load_ssd_weights()
+            variables = _device_put_default({
+                "params": jax.tree.map(jnp.asarray, v["params"]),
+                "anchors": jnp.asarray(anchors),
+            })
+
+        def program(v, img_u8):  # [1, 300, 300, 3] uint8
+            f = img_u8[0].astype(jnp.float32)
+            box_regs, logits = net.apply({"params": v["params"]}, f[None])
+            det = ssd_postprocess(box_regs[0], logits[0], v["anchors"])
+            return det.boxes, det.scores, det.classes, det.valid
+
+        jitted = jax.jit(program)
+
+        def run(inputs):
+            img = _resize_u8(inputs["image"][0], 300, 300)[None]
+            boxes, scores, classes, valid = (
+                np.asarray(t) for t in jitted(variables, jnp.asarray(img))
+            )
+            return {
+                "detection_boxes": boxes[None].astype(np.float32),
+                "detection_classes": classes[None].astype(np.float32),
+                "detection_scores": scores[None].astype(np.float32),
+                "num_detections": np.array([valid.sum()], np.float32),
+            }
+
+        return run
+
+    return ModelEntry(
+        name="ssd_mobilenet",
+        platform="jax_xla",
+        inputs=[TensorSpec("image", "UINT8", (1, -1, -1, 3))],
+        outputs=[
+            TensorSpec("detection_boxes", "FP32", (1, nd, 4)),
+            TensorSpec("detection_classes", "FP32", (1, nd)),
+            TensorSpec("detection_scores", "FP32", (1, nd)),
+            TensorSpec("num_detections", "FP32", (1,)),
+        ],
+        max_batch_size=0,
+        weights="real",  # ssd.tflite import — never random
+        build=build,
     )
 
 
@@ -886,6 +969,8 @@ def build_registry(pipeline=None, config=None,
     pose = pose_vars = None
     hh = hh_vars = None
     det = det_vars = None
+    ssd_model = ssd_vars = None
+    yolo_models: Dict[str, Any] = {}  # variant -> (model, vars, weights)
     det_config = EFFICIENTDET_LITE4
     det_weights = pose_weights = "random"
     hh_weights = "random"
@@ -908,6 +993,30 @@ def build_registry(pipeline=None, config=None,
             hh = p_model
             hh_vars = pipeline.pose_vars
             hh_weights = origin.get("pose", "random")
+        # SSD / YOLO serving backends: share their model + params too
+        from human_body_proportion_estimation_tpu.models.ssd_mobilenet import (  # noqa: E501
+            SSDMobileNetV1,
+        )
+        from human_body_proportion_estimation_tpu.models.yolov5 import (
+            YOLOV5M,
+            YOLOV5S,
+            YoloV5,
+        )
+
+        b_model = getattr(getattr(pipeline, "backend", None), "model", None)
+        if isinstance(b_model, SSDMobileNetV1):
+            ssd_model = b_model
+            ssd_vars = pipeline.det_vars
+        if isinstance(b_model, YoloV5):
+            # dataclass configs compare by value (not hashable)
+            yolo_shared = ("yolov5s" if b_model.config == YOLOV5S
+                           else "yolov5m" if b_model.config == YOLOV5M
+                           else None)
+            if yolo_shared is not None:
+                yolo_models[yolo_shared] = (
+                    b_model, pipeline.det_vars,
+                    origin.get("detector", "random"),
+                )
         backend = getattr(pipeline, "backend", None)
         det_model = getattr(backend, "detector", None)
         if det_model is not None and not getattr(
@@ -936,8 +1045,9 @@ def build_registry(pipeline=None, config=None,
     entries = [
         _hrnet_entry(cfg, pose, pose_vars, pose_weights),
         _higherhrnet_entry(cfg, hh, hh_vars, hh_weights),
-        _yolo_entry(cfg, "yolov5m"),
-        _yolo_entry(cfg, "yolov5s"),
+        _yolo_entry(cfg, "yolov5m", *yolo_models.get("yolov5m", ())),
+        _yolo_entry(cfg, "yolov5s", *yolo_models.get("yolov5s", ())),
+        _ssd_entry(cfg, ssd_model, ssd_vars),
         *_edet_entries(
             cfg, det_config, det, det_vars, pose, pose_vars,
             det_weights=det_weights, pose_weights=pose_weights,

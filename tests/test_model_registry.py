@@ -21,6 +21,7 @@ REFERENCE_MODELS = {
     "higherhrnet",
     "yolov5m",
     "yolov5s",
+    "ssd_mobilenet",  # beyond-reference slot: always REAL weights
 }
 
 
@@ -194,6 +195,30 @@ def test_modified_with_detections(pipeline_and_registry):
         ens["ENSEMBLE_OUTPUT_FILTER_DET_BOXES"], out["filtered_boxes"],
         atol=2e-2,
     )
+
+
+def test_ssd_mobilenet_real_weight_slot(pipeline_and_registry):
+    """`ssd_mobilenet`: the repository's always-real-weights model (the
+    reference's checked-in ssd.tflite) with the TFLite_Detection_
+    PostProcess wire contract (human_detector.py:31-38)."""
+    _, reg = pipeline_and_registry
+    assert {r["name"]: r["weights"] for r in reg.index()}[
+        "ssd_mobilenet"] == "real"
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (1, 240, 320, 3), np.uint8)
+    out = reg.infer("ssd_mobilenet", {"image": img})
+    assert out["detection_boxes"].shape == (1, 10, 4)
+    assert out["detection_scores"].shape == (1, 10)
+    assert out["detection_classes"].shape == (1, 10)
+    n = float(out["num_detections"][0])
+    assert 0 <= n <= 10
+    boxes = out["detection_boxes"][0]
+    # normalized coords (un-clipped TFLite_Detection_PostProcess
+    # semantics: slight out-of-[0,1] spill is legal)
+    assert np.isfinite(boxes).all()
+    assert (boxes > -0.5).all() and (boxes < 1.5).all()
+    scores = out["detection_scores"][0]
+    assert (np.diff(scores[scores > 0]) <= 1e-6).all()  # score-sorted
 
 
 def test_higherhrnet_dual_outputs(pipeline_and_registry):
