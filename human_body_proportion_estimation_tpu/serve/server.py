@@ -441,6 +441,14 @@ def make_handler(app: ServingApp):
                                 "segment name -> cm or 'Part not visible'",
                         },
                     },
+                    "GET /v2/models[/name]": {
+                        "returns": "model-repository index / per-model "
+                                   "metadata (read-only mirror of the "
+                                   "gRPC RepositoryIndex/ModelMetadata "
+                                   "RPCs; tensor-level inference is "
+                                   "gRPC-only: hbpe.Inference/ModelInfer, "
+                                   "see serve/hbpe.proto)",
+                    },
                     "POST /body_proportion_length_estimation_video": {
                         "form": {
                             "file": "video file (required)",
