@@ -55,6 +55,15 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("-o", "--output_dir", default="output",
                    help="result directory (set to '' to disable saving)")
     p.add_argument("-t", "--detection_threshold", type=float, default=0.6)
+    p.add_argument("-ox", "--onnx_path", default=None,
+                   help="accepted for reference CLI compatibility "
+                        "(`modules/utils.py:94-96`) and ignored: there is "
+                        "no ONNX runtime here — the same architecture runs "
+                        "as a jit XLA program on TPU or CPU (--cpu)")
+    p.add_argument("-c", "--num_classes", type=int, default=80,
+                   help="number of classes for the legacy w-NMS decode "
+                        "(`modules/utils.py:100-102`); only consulted by "
+                        "detect_yolo --legacy-nms")
     p.add_argument("-p", "--person_height", type=float, default=175.0,
                    help="subject height in cm for pixel->cm scaling")
     p.add_argument("-g", "--grpc_port", default=None,

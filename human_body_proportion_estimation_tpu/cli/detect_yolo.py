@@ -37,13 +37,17 @@ MODEL_SIZE = 640
 
 
 def _remote_infer_fn(grpc_target: str, model_name: str,
-                     det_threshold: float, iou_threshold: float):
+                     det_threshold: float, iou_threshold: float,
+                     legacy_nms: bool = False, num_classes: int = 80):
     """Remote per-frame closure: model forward + decode server-side via
     ModelInfer, NMS client-side (the reference's Triton split)."""
     import jax
     import jax.numpy as jnp
 
-    from human_body_proportion_estimation_tpu.ops.nms import yolo_nms
+    from human_body_proportion_estimation_tpu.ops.nms import (
+        yolo_nms,
+        yolo_nms_legacy,
+    )
     from human_body_proportion_estimation_tpu.serve.grpc_server import (
         GrpcClient,
     )
@@ -51,9 +55,16 @@ def _remote_infer_fn(grpc_target: str, model_name: str,
     if ":" not in grpc_target:
         grpc_target = f"127.0.0.1:{grpc_target}"
     client = GrpcClient(grpc_target)
-    nms_prog = jax.jit(
-        lambda p: yolo_nms(p, det_threshold, iou_threshold, 300, 512)
-    )
+    if legacy_nms:
+        nms_prog = jax.jit(
+            lambda p: yolo_nms_legacy(
+                p, num_classes, det_threshold, iou_threshold, 300, 512
+            )
+        )
+    else:
+        nms_prog = jax.jit(
+            lambda p: yolo_nms(p, det_threshold, iou_threshold, 300, 512)
+        )
 
     def infer(model_in: np.ndarray):  # [S, S, 3] f32 letterboxed /255
         nchw = np.ascontiguousarray(
@@ -79,6 +90,8 @@ def run_demo_odet(
     use_cpu: bool = False,
     debug: bool = True,
     grpc_target: str | None = None,
+    legacy_nms: bool = False,
+    num_classes: int = 80,
 ):
     import jax
     import jax.numpy as jnp
@@ -94,7 +107,8 @@ def run_demo_odet(
         jax.config.update("jax_platforms", "cpu")
     if grpc_target:
         infer_fn = _remote_infer_fn(
-            grpc_target, model_name, det_threshold, iou_threshold
+            grpc_target, model_name, det_threshold, iou_threshold,
+            legacy_nms=legacy_nms, num_classes=num_classes,
         )
     else:
         cfg = YOLOV5S if model_name == "yolov5s" else YOLOV5M
@@ -109,7 +123,8 @@ def run_demo_odet(
             )
         variables = jax.device_put(variables, jax.devices()[0])
         program = YoloDetectPipeline(
-            model, conf_thres=det_threshold, iou_thres=iou_threshold
+            model, conf_thres=det_threshold, iou_thres=iou_threshold,
+            legacy_nms=legacy_nms, num_classes=num_classes,
         ).jit()
 
         def infer_fn(model_in: np.ndarray):
@@ -147,7 +162,9 @@ def run_demo_odet(
             for bx, sc, cl in zip(boxes, scores, classes):
                 name = COCO_CLASSES[int(cl)] \
                     if 0 <= int(cl) < len(COCO_CLASSES) else str(int(cl))
-                draw.draw_box(frame, bx, color=(255, 0, 255),
+                # per-class seeded color, reference scheme
+                # (`obj_det_yolov5_onnx.py:56-57`)
+                draw.draw_box(frame, bx, color=draw.class_color(int(cl)),
                               label=f"{name} {sc:.2f}")
             if inference_mode == "video":
                 if writer is None:
@@ -174,6 +191,12 @@ def main():
                         choices=("yolov5s", "yolov5m"))
     parser.add_argument("--cpu", action="store_true",
                         help="run on the CPU backend (numeric-parity path)")
+    parser.add_argument("--legacy-nms", action="store_true",
+                        help="use the reference's second YOLO postprocess "
+                             "(`w_non_max_suppression`, modules/"
+                             "onnx_utils.py:39-95: obj-conf gating + "
+                             "per-class +1-IoU NMS); -c/--num_classes sets "
+                             "its class-column count")
     args = parser.parse_args()
     run_demo_odet(
         args.input_path,
@@ -184,6 +207,8 @@ def main():
         use_cpu=args.cpu,
         debug=args.debug,
         grpc_target=args.grpc_port,
+        legacy_nms=args.legacy_nms,
+        num_classes=args.num_classes,
     )
 
 

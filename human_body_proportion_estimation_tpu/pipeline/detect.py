@@ -27,7 +27,11 @@ from human_body_proportion_estimation_tpu.models.yolov5 import (
     decode_predictions,
 )
 from human_body_proportion_estimation_tpu.ops import boxes as box_ops
-from human_body_proportion_estimation_tpu.ops.nms import NmsResult, yolo_nms
+from human_body_proportion_estimation_tpu.ops.nms import (
+    NmsResult,
+    yolo_nms,
+    yolo_nms_legacy,
+)
 
 
 class Detections(NamedTuple):
@@ -70,19 +74,31 @@ class YoloDetectPipeline:
 
     def __init__(self, model: YoloV5, conf_thres: float = 0.4,
                  iou_thres: float = 0.5, max_det: int = 300,
-                 top_k: int = 512, class_filter: int | None = None):
+                 top_k: int = 512, class_filter: int | None = None,
+                 legacy_nms: bool = False, num_classes: int | None = None):
         self.model = model
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.max_det = max_det
         self.top_k = top_k
         self.class_filter = class_filter
+        # legacy mode = the reference's second postprocess
+        # (`w_non_max_suppression`, modules/onnx_utils.py:39-95): obj-conf
+        # gating + per-class +1-IoU NMS over `num_classes` class columns
+        # (the `-c/--num_classes` CLI knob, modules/utils.py:100-102)
+        self.legacy_nms = legacy_nms
+        self.num_classes = num_classes or model.config.num_classes
 
     def forward(self, variables: Any, images: jax.Array) -> Detections:
         heads = self.model.apply(variables, images)
         preds = decode_predictions(heads, self.model.config.num_classes)
 
         def one(p) -> NmsResult:
+            if self.legacy_nms:
+                return yolo_nms_legacy(
+                    p, self.num_classes, self.conf_thres, self.iou_thres,
+                    self.max_det, self.top_k,
+                )
             return yolo_nms(
                 p, self.conf_thres, self.iou_thres, self.max_det,
                 self.top_k, class_filter=self.class_filter,

@@ -140,3 +140,29 @@ def test_run_demo_odet_yolo(media_dir, tmp_path):
     # boxes (if any survived NMS on random weights) are inside the image
     if len(boxes):
         assert np.all(boxes >= 0) and np.all(boxes[:, [0, 2]] <= 200)
+
+
+def test_parser_accepts_reference_flags():
+    """-ox/--onnx_path and -c/--num_classes exist for reference CLI parity
+    (`modules/utils.py:94-103`); -ox is a documented no-op."""
+    from human_body_proportion_estimation_tpu.cli.args import build_parser
+
+    p = build_parser("t")
+    args = p.parse_args(
+        ["-i", "x.jpg", "-ox", "yolov5/yolov5s.onnx", "-c", "3"]
+    )
+    assert args.onnx_path == "yolov5/yolov5s.onnx"
+    assert args.num_classes == 3
+
+
+def test_class_color_matches_reference_seed_scheme():
+    """class_color reproduces the reference's seeded BGR draw
+    (`obj_det_yolov5_onnx.py:56-57`) swapped into RGB."""
+    from human_body_proportion_estimation_tpu.utils.draw import class_color
+
+    for cls in (0, 7, 41):
+        np.random.seed(cls + 2020)
+        ref_bgr = [np.random.randint(0, 255), 0, np.random.randint(0, 255)]
+        assert class_color(cls) == (ref_bgr[2], ref_bgr[1], ref_bgr[0])
+    # deterministic across calls
+    assert class_color(0) == class_color(0)

@@ -117,3 +117,31 @@ def test_decode_scored_matches_classic_path(rng):
                                           np.asarray(b.scores))
             np.testing.assert_array_equal(np.asarray(a.classes),
                                           np.asarray(b.classes))
+
+
+def test_pipeline_legacy_nms_dispatch(rng, s_heads):
+    """YoloDetectPipeline(legacy_nms=True) must route through
+    yolo_nms_legacy (the reference w_non_max_suppression port) with the
+    configured class-column count — identical to calling it directly."""
+    from human_body_proportion_estimation_tpu.ops.nms import yolo_nms_legacy
+    from human_body_proportion_estimation_tpu.pipeline.detect import (
+        YoloDetectPipeline,
+    )
+
+    model = Y.YoloV5(config=Y.YOLOV5S, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    pipe = YoloDetectPipeline(
+        model, conf_thres=0.3, iou_thres=0.4, max_det=16, top_k=64,
+        legacy_nms=True, num_classes=80,
+    )
+    got = pipe.forward(params, x)
+
+    heads = model.apply(params, x)
+    pred = Y.decode_predictions(heads)[0]
+    want = yolo_nms_legacy(pred, 80, 0.3, 0.4, max_det=16, top_k=64)
+    np.testing.assert_array_equal(np.asarray(got.valid[0]),
+                                  np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.boxes[0]),
+                                  np.asarray(want.boxes))

@@ -114,11 +114,18 @@ def _current_detections(det):
 
 def test_ssd_goldens_regression(ssd_detector):
     current = _current_detections(ssd_detector)
-    if not os.path.exists(GOLDEN_PATH):
+    if os.environ.get("HBPE_UPDATE_GOLDENS"):
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
         with open(GOLDEN_PATH, "w") as f:
             json.dump(current, f, indent=1)
-        pytest.skip("goldens created; rerun to compare")
+        pytest.skip("goldens regenerated (HBPE_UPDATE_GOLDENS set); "
+                    "rerun without the flag to compare")
+    # a missing golden is a FAILURE, not a bootstrap: silently
+    # re-baselining would erase the regression the golden exists to catch
+    assert os.path.exists(GOLDEN_PATH), (
+        f"golden file {GOLDEN_PATH} missing — it is committed; "
+        "regenerate deliberately with HBPE_UPDATE_GOLDENS=1"
+    )
     with open(GOLDEN_PATH) as f:
         golden = json.load(f)
     for name in FIXTURES:
