@@ -132,6 +132,50 @@ class HttpClient:
             "POST", "/body_proportion_length_estimation_video", body, ctype
         )
 
+    def estimate_video_stream(
+        self,
+        video,
+        person_height_cm: int = 175,
+        det_threshold: float = 0.70,
+        frame_stride: int = 1,
+        max_frames: int = 0,
+    ):
+        """POST a video to the streaming endpoint; yields parsed NDJSON
+        lines as the server emits them: a header dict first, then one
+        dict per frame in order, then the median summary last (the HTTP
+        twin of GrpcClient.estimate_video_stream)."""
+        import http.client
+
+        data, name = self._read(video)
+        fields = {
+            "file": (data, name),
+            "person_height_in_cm": (person_height_cm, None),
+            "threshold": (det_threshold, None),
+            "frame_stride": (frame_stride, None),
+        }
+        if max_frames:
+            fields["max_frames"] = (max_frames, None)
+        body, ctype = _multipart(fields)
+        conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout
+        )
+        try:
+            conn.request(
+                "POST", "/body_proportion_length_estimation_video_stream",
+                body=body, headers={"Content-Type": ctype},
+            )
+            resp = conn.getresponse()  # http.client handles the chunking
+            if resp.getheader("Content-Type") != "application/x-ndjson":
+                # pre-stream failure: a single JSON error body
+                yield json.loads(resp.read())
+                return
+            for line in resp:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+        finally:
+            conn.close()
+
     def health(self) -> Dict[str, Any]:
         return self._request("GET", "/health")
 

@@ -209,6 +209,12 @@ class ServingApp:
     # memory and our share of the batcher queue (leaves room for
     # concurrent image requests to interleave with a long video)
     VIDEO_CHUNK = 64
+    # default frame cap for the AGGREGATE video endpoint (one minute at
+    # 30 fps): its response materializes every per-frame dict into one
+    # JSON body, so an uncapped long upload would build an unbounded
+    # response. Explicit max_frames=0 opts out; the _stream endpoint has
+    # no cap (it never buffers).
+    DEFAULT_MAX_VIDEO_FRAMES = 1800
 
     def handle_video_estimation(self, form) -> Dict[str, Any]:
         """POST /body_proportion_length_estimation_video.
@@ -234,13 +240,37 @@ class ServingApp:
         frame_stride = int(form["frame_stride"].data) \
             if "frame_stride" in form else 1
         max_frames = int(form["max_frames"].data) \
-            if "max_frames" in form else 0
+            if "max_frames" in form else self.DEFAULT_MAX_VIDEO_FRAMES
         response = self.run_video(
             form["file"].data, height, threshold, frame_stride, max_frames
         )
         if back_url:
             self._post_webhook(back_url, response)
         return response
+
+    def open_video_stream_form(self, form):
+        """Parse the streaming-endpoint form and open the frame stream.
+
+        Returns (fps, frame_stride, per-frame iterator). Raises before any
+        bytes are streamed on bad forms / undecodable video, so the
+        handler can still fall back to the single failed-JSON response
+        (never-500 parity). No default frame cap: the NDJSON response is
+        written incrementally and never buffers.
+        """
+        if "file" not in form:
+            raise ValueError("missing 'file' form field")
+        height = int(form["person_height_in_cm"].data) \
+            if "person_height_in_cm" in form else 175
+        threshold = float(form["threshold"].data) \
+            if "threshold" in form else 0.70
+        frame_stride = int(form["frame_stride"].data) \
+            if "frame_stride" in form else 1
+        max_frames = int(form["max_frames"].data) \
+            if "max_frames" in form else 0
+        fps, it = self.open_video_stream(
+            form["file"].data, height, threshold, frame_stride, max_frames
+        )
+        return fps, frame_stride, it
 
     def open_video_stream(self, video_bytes: bytes, height: float,
                           threshold: float, frame_stride: int = 1,
@@ -381,6 +411,22 @@ def make_handler(app: ServingApp):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_ndjson_stream(self, lines):
+            """Chunked application/x-ndjson: one JSON object per line,
+            written as each becomes available (HTTP twin of the gRPC
+            EstimateVideoStream RPC)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for obj in lines:
+                data = json.dumps(obj, default=_json_default).encode() \
+                    + b"\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+
         def log_message(self, fmt, *args):  # quiet access log
             pass
 
@@ -425,53 +471,47 @@ def make_handler(app: ServingApp):
                     self._send_json(app.registry.metadata(name))
                 except KeyError as e:
                     self._send_json({"detail": str(e)}, 404)
-            elif self.path == "/docs":
-                self._send_json({
-                    "POST /body_proportion_length_estimation_file": {
-                        "form": {
-                            "file": "image file (required)",
-                            "person_height_in_cm": "int, default 175",
-                            "threshold": "float, default 0.70",
-                            "back_url": "optional webhook URL",
-                        },
-                        "returns": {
-                            "code": "success|failed",
-                            "msg": "status message",
-                            "body_proportion_lengths_(cm)":
-                                "segment name -> cm or 'Part not visible'",
-                        },
-                    },
-                    "GET /v2/models[/name]": {
-                        "returns": "model-repository index / per-model "
-                                   "metadata (read-only mirror of the "
-                                   "gRPC RepositoryIndex/ModelMetadata "
-                                   "RPCs; tensor-level inference is "
-                                   "gRPC-only: hbpe.Inference/ModelInfer, "
-                                   "see serve/hbpe.proto)",
-                    },
-                    "POST /body_proportion_length_estimation_video": {
-                        "form": {
-                            "file": "video file (required)",
-                            "person_height_in_cm": "int, default 175",
-                            "threshold": "float, default 0.70",
-                            "frame_stride":
-                                "int >=1, process every Nth frame",
-                            "max_frames": "int, cap processed frames",
-                            "back_url": "optional webhook URL",
-                        },
-                        "returns": {
-                            "code": "success|failed",
-                            "msg": "status message",
-                            "fps": "source video fps",
-                            "num_frames_processed": "int",
-                            "frames": "per-frame person-0 results",
-                            "median_body_proportion_lengths_(cm)":
-                                "median over frames, per segment",
-                        },
-                    },
-                })
+            elif self.path in ("/docs", "/openapi.json"):
+                # real OpenAPI 3 document — contract parity with the
+                # FastAPI auto-docs the reference's welcome JSON points
+                # users at (uvicorn_server/server.py:122-124)
+                from human_body_proportion_estimation_tpu.serve.openapi import (  # noqa: E501
+                    build_schema,
+                )
+
+                self._send_json(
+                    build_schema(app.DEFAULT_MAX_VIDEO_FRAMES)
+                )
             else:
                 self._send_json({"detail": "Not Found"}, 404)
+
+        def _stream_video(self, form):
+            """POST /body_proportion_length_estimation_video_stream:
+            header line, per-frame lines in order, summary line last.
+            Errors before the first byte fall back to the single failed
+            JSON (never-500 parity); mid-stream errors terminate the
+            stream with a code='failed' summary line (the gRPC stream's
+            failed-summary behavior)."""
+            fps, stride, frames = app.open_video_stream_form(form)
+
+            def lines():
+                yield {"code": "success", "fps": fps,
+                       "frame_stride": stride}
+                collected = []
+                try:
+                    for f in frames:
+                        collected.append(f)
+                        yield f
+                except Exception as e:  # noqa: BLE001
+                    traceback.print_exc()
+                    log.error("video_stream_failed", error=str(e))
+                    yield {"code": "failed", "msg": FAIL_MSG}
+                    return
+                summary = app.summarize_video(collected, fps, stride)
+                summary.pop("frames")  # already streamed line-by-line
+                yield summary
+
+            self._send_ndjson_stream(lines())
 
         def do_POST(self):
             routes = {
@@ -480,8 +520,10 @@ def make_handler(app: ServingApp):
                 "/body_proportion_length_estimation_video":
                     app.handle_video_estimation,
             }
+            stream = self.path == \
+                "/body_proportion_length_estimation_video_stream"
             handler = routes.get(self.path)
-            if handler is None:
+            if handler is None and not stream:
                 self._send_json({"detail": "Not Found"}, 404)
                 return
             try:
@@ -490,8 +532,10 @@ def make_handler(app: ServingApp):
                 form = parse_multipart(
                     body, self.headers.get("Content-Type", "")
                 )
-                response = handler(form)
-                self._send_json(response)
+                if stream:
+                    self._stream_video(form)
+                else:
+                    self._send_json(handler(form))
             except queue.Full:
                 log.warning("backpressure_reject")
                 self._send_json(

@@ -319,7 +319,7 @@ def test_http_client_sdk(served_app):
     m = c.metrics()
     assert m["requests_total"] >= 1
     d = c.docs()
-    assert "POST /body_proportion_length_estimation_video" in d
+    assert "/body_proportion_length_estimation_video" in d["paths"]
 
 
 def test_metrics_and_health(served_app):
@@ -450,3 +450,85 @@ def test_prewarm_compiles_every_batch_bucket():
     img = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
     out = pipeline.infer_serving([img] * 3, 175.0, 0.0)
     assert out.shape[0] == 3
+
+
+def test_video_default_frame_cap(served_app, monkeypatch):
+    """The AGGREGATE endpoint caps processed frames by default (its JSON
+    body materializes every frame); explicit max_frames=0 opts out."""
+    from human_body_proportion_estimation_tpu.serve.server import ServingApp
+
+    monkeypatch.setattr(ServingApp, "DEFAULT_MAX_VIDEO_FRAMES", 3)
+    port, _ = served_app
+    video = _encode_test_video(n_frames=6)
+    body, ctype = _multipart_body({"file": (video, "clip.avi")})
+    _, data = _post(
+        port, "/body_proportion_length_estimation_video", body, ctype
+    )
+    assert data["num_frames_processed"] == 3  # capped by default
+
+    body, ctype = _multipart_body({
+        "file": (video, "clip.avi"), "max_frames": ("0", None),
+    })
+    _, data = _post(
+        port, "/body_proportion_length_estimation_video", body, ctype
+    )
+    assert data["num_frames_processed"] == 6  # explicit 0 = unlimited
+
+
+def test_video_stream_endpoint(served_app):
+    """NDJSON streaming: header, per-frame lines in order, summary last
+    (HTTP twin of the gRPC EstimateVideoStream RPC)."""
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    video = _encode_test_video(n_frames=6)
+    lines = list(HttpClient("127.0.0.1", port).estimate_video_stream(
+        video, frame_stride=2
+    ))
+    header, frames, summary = lines[0], lines[1:-1], lines[-1]
+    assert header["code"] == "success" and header["frame_stride"] == 2
+    assert [f["frame"] for f in frames] == [0, 2, 4]
+    for f in frames:
+        assert "body_proportion_lengths_(cm)" in f
+    assert summary["num_frames_processed"] == 3
+    assert "median_body_proportion_lengths_(cm)" in summary
+    assert "frames" not in summary  # already streamed line-by-line
+
+
+def test_video_stream_garbage_fails_cleanly(served_app):
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    lines = list(HttpClient("127.0.0.1", port).estimate_video_stream(
+        b"definitely not a video"
+    ))
+    assert len(lines) == 1
+    assert lines[0]["code"] == "failed"  # single JSON, never a 500
+
+
+def test_openapi_docs_contract(served_app):
+    """/docs serves a real OpenAPI 3 document (the FastAPI auto-docs role,
+    uvicorn_server/server.py:122-124), mirrored at /openapi.json, and
+    HttpClient.docs() consumes it."""
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    doc = HttpClient("127.0.0.1", port).docs()
+    doc.pop("_http_status")
+    assert doc["openapi"].startswith("3.")
+    assert doc["info"]["title"]
+    for path in (
+        "/body_proportion_length_estimation_file",
+        "/body_proportion_length_estimation_video",
+        "/body_proportion_length_estimation_video_stream",
+        "/health", "/metrics", "/v2/models", "/v2/models/{name}", "/docs",
+    ):
+        assert path in doc["paths"], path
+    post = doc["paths"]["/body_proportion_length_estimation_file"]["post"]
+    form = post["requestBody"]["content"]["multipart/form-data"]["schema"]
+    assert form["required"] == ["file"]
+    assert set(form["properties"]) >= {
+        "file", "person_height_in_cm", "threshold", "back_url",
+    }
+    _, alias = _get(port, "/openapi.json")
+    assert alias == doc
