@@ -171,6 +171,7 @@ class InferencePipeline:
         detector: str | None = None,
         mesh=None,
         backend=None,
+        pose=None,
         place_params: bool = True,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
@@ -236,7 +237,11 @@ class InferencePipeline:
                     "checkpoint) or detector='ssd_mobilenet'",
                 **self.weights_origin,
             )
-        if cfg.pose.name == "higherhrnet":
+        if pose is not None:
+            # pre-built pose model (tests, reduced-shape certification
+            # pipelines); mirrors the `backend` escape hatch above
+            self.pose = pose
+        elif cfg.pose.name == "higherhrnet":
             from human_body_proportion_estimation_tpu.models.higherhrnet import (
                 HigherHRNetHeatmaps,
             )
