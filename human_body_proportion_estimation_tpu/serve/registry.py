@@ -382,6 +382,40 @@ def _pad_pow2(n: int, cap: int) -> int:
     return _pad_batch(n, cap)
 
 
+def _pad_rows(n: int, cap: int, dp: int) -> int:
+    """Batch bucket that is also a multiple of the data-parallel degree —
+    a dp-sharded program needs every batch divisible by the 'data' axis."""
+    b = _pad_pow2(n, cap)
+    if dp > 1:
+        b = max(b, dp)
+        if b % dp:
+            b = ((b + dp - 1) // dp) * dp
+    return b
+
+
+def _jit_batched_program(program, variables, mesh):
+    """jit a `(variables, x_batch) -> outputs` program; with a mesh the
+    params are replicated and the batch dim sharded over 'data' — the
+    Triton `instance_group {count: N}` analog at the tensor API (reference
+    README :71-80): one coalesced registry batch then spans N chips, same
+    scheme as the domain endpoint (`pipeline/host.py:_jit_kwargs`).
+
+    Returns (jitted, placed_variables, dp_degree)."""
+    import jax
+
+    if mesh is None:
+        return jax.jit(program), variables, 1
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, rep)
+    jitted = jax.jit(program, in_shardings=(
+        jax.tree.map(lambda _: rep, variables),
+        NamedSharding(mesh, P("data")),
+    ))
+    return jitted, variables, int(mesh.shape["data"])
+
+
 def _device_put_default(tree):
     import jax
 
@@ -410,7 +444,7 @@ def _resize_u8(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def _hrnet_entry(cfg, pose=None, pose_vars=None,
-                 weights: str = "random") -> ModelEntry:
+                 weights: str = "random", mesh=None) -> ModelEntry:
     """`hrnet`: f32 NCHW crops -> "output" heatmaps [B, 17, 96, 72]
     (reference pose_est_hrnet_trtserver.py:22-25 reads "output"; the wire
     layout is the reference's channel-first ONNX convention — transposed
@@ -442,12 +476,13 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
             hm = model.apply(v, x)
             return jnp.moveaxis(hm, -1, 1)
 
-        jitted = jax.jit(program)
+        jitted, variables, dp = _jit_batched_program(program, variables,
+                                                     mesh)
 
         def run(inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             x = inputs["input"]
             n = x.shape[0]
-            b = _pad_pow2(n, max_batch)
+            b = _pad_rows(n, max_batch, dp)
             if b != n:
                 x = np.concatenate(
                     [x, np.zeros((b - n,) + x.shape[1:], x.dtype)]
@@ -471,7 +506,7 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
 
 
 def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
-                       weights: str = "random") -> ModelEntry:
+                       weights: str = "random", mesh=None) -> ModelEntry:
     """`higherhrnet`: f32 NCHW image -> "output_1" (K heatmaps + K AE tags,
     1/4 res) and "output_2" (K heatmaps, 1/2 res) — the tensor contract the
     reference reads (pose_est_hrnet_trtserver.py:22-28 uses output_2 only;
@@ -507,12 +542,13 @@ def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
                 jnp.moveaxis(out["output_2"], -1, 1),
             )
 
-        jitted = jax.jit(program)
+        jitted, variables, dp = _jit_batched_program(program, variables,
+                                                     mesh)
 
         def run(inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             x = inputs["input"]
             n = x.shape[0]
-            b = _pad_pow2(n, max_batch)
+            b = _pad_rows(n, max_batch, dp)
             if b != n:
                 x = np.concatenate(
                     [x, np.zeros((b - n,) + x.shape[1:], x.dtype)]
@@ -541,7 +577,8 @@ def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
 
 
 def _yolo_entry(cfg, variant: str = "yolov5m", shared_model=None,
-                shared_vars=None, weights: str = "random") -> ModelEntry:
+                shared_vars=None, weights: str = "random",
+                mesh=None) -> ModelEntry:
     """`yolov5m`/`yolov5s`: "images" f32 NCHW [B,3,640,640] (already /255,
     reference obj_det_yolov5_trtserver.py:30-37) -> "output" [B, 25200, 85]
     decoded predictions (the layout its postprocess reads, :40-44). When
@@ -580,12 +617,13 @@ def _yolo_entry(cfg, variant: str = "yolov5m", shared_model=None,
             heads = model.apply(v, x)
             return decode_predictions(heads)
 
-        jitted = jax.jit(program)
+        jitted, variables, dp = _jit_batched_program(program, variables,
+                                                     mesh)
 
         def run(inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             x = inputs["images"]
             n = x.shape[0]
-            b = _pad_pow2(n, max_batch)
+            b = _pad_rows(n, max_batch, dp)
             if b != n:
                 x = np.concatenate(
                     [x, np.zeros((b - n,) + x.shape[1:], x.dtype)]
@@ -950,12 +988,20 @@ def _edet_entries(cfg, det_config, detector=None, det_vars=None,
 
 
 def build_registry(pipeline=None, config=None,
-                   include: Optional[Sequence[str]] = None) -> ModelRegistry:
+                   include: Optional[Sequence[str]] = None,
+                   mesh=None) -> ModelRegistry:
     """Assemble the default repository (the reference's model-repo roster,
     README :71-80), sharing the serving pipeline's already loaded models/
     params where they match so registry inference adds no device memory.
 
     `include`: restrict to a subset of model names (tests, small deploys).
+    `mesh`: jax.sharding.Mesh with a 'data' axis — defaults to the serving
+    pipeline's mesh, so `serve.server --data-parallel N` shards the
+    BATCHED registry models (hrnet / higherhrnet / yolov5*) over N chips
+    exactly like the domain endpoint: the Triton `instance_group
+    {count: N}` analog at the tensor API (reference README :71-80). The
+    batch-1-contract models (edet trio, ssd) keep their single-device
+    reference signatures.
     """
     from human_body_proportion_estimation_tpu.models.efficientdet import (
         EFFICIENTDET_LITE4,
@@ -1040,13 +1086,17 @@ def build_registry(pipeline=None, config=None,
             det = EfficientDet(config=det_config)
             det_weights = origin.get("detector", "random")
     cfg = cfg or PipelineConfig()
+    if mesh is None:
+        mesh = getattr(pipeline, "mesh", None)
 
     reg = ModelRegistry()
     entries = [
-        _hrnet_entry(cfg, pose, pose_vars, pose_weights),
-        _higherhrnet_entry(cfg, hh, hh_vars, hh_weights),
-        _yolo_entry(cfg, "yolov5m", *yolo_models.get("yolov5m", ())),
-        _yolo_entry(cfg, "yolov5s", *yolo_models.get("yolov5s", ())),
+        _hrnet_entry(cfg, pose, pose_vars, pose_weights, mesh=mesh),
+        _higherhrnet_entry(cfg, hh, hh_vars, hh_weights, mesh=mesh),
+        _yolo_entry(cfg, "yolov5m", *yolo_models.get("yolov5m", ()),
+                    mesh=mesh),
+        _yolo_entry(cfg, "yolov5s", *yolo_models.get("yolov5s", ()),
+                    mesh=mesh),
         _ssd_entry(cfg, ssd_model, ssd_vars),
         *_edet_entries(
             cfg, det_config, det, det_vars, pose, pose_vars,

@@ -420,3 +420,62 @@ def test_wire_tensor_roundtrip():
     t.raw_data = t.raw_data[:-1]
     with pytest.raises(ValueError, match="raw bytes"):
         infer_tensor_to_np(t)
+
+
+def test_dp_sharded_registry_matches_per_row_program():
+    """`--data-parallel N` at the tensor API (the Triton `instance_group
+    {count: N}` analog, reference README :71-80): a BATCHED registry model
+    jitted over an 8-device 'data' mesh returns, for every request row,
+    exactly what the model computes for that row alone — including request
+    sizes that force padding up to a dp multiple (1 -> 8, 3 -> 8; one row
+    per device, so each shard runs the batch-1 program). yolov5* and
+    higherhrnet share the identical `_jit_batched_program`/`_pad_rows`
+    path but are too heavy to duplicate on the CPU mesh, so hrnet stands
+    in for all three.
+
+    The reference point is deliberately the per-row direct program, not
+    the single-device registry at its own (different) batch bucket:
+    with random-init weights the BN running stats don't match the
+    activation distribution, activations explode, and bf16 compute then
+    makes different-bucket XLA programs diverge visibly — a property of
+    random weights, not of the sharding."""
+    import jax
+    import jax.numpy as jnp
+
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE0,
+    )
+    from human_body_proportion_estimation_tpu.parallel.mesh import make_mesh
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        build_registry,
+    )
+
+    assert len(jax.devices()) >= 8
+    cfg = tiny_config()
+    pipe = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0,
+                             rng_seed=7)
+    regN = build_registry(pipe, include=["hrnet"], mesh=make_mesh(8))
+
+    @jax.jit
+    def direct_row(v, t):  # batch-1 reference program
+        return jnp.moveaxis(
+            pipe.pose.apply(v, jnp.transpose(t, (0, 2, 3, 1))), -1, 1
+        )
+
+    rng = np.random.default_rng(3)
+    try:
+        for n in (1, 3):
+            x = rng.random((n, 3, 64, 64), np.float32)
+            out = regN.infer("hrnet", {"input": x})["output"]
+            assert out.shape == (n, 17, 16, 16)
+            for i in range(n):
+                want = np.asarray(
+                    direct_row(pipe.pose_vars, jnp.asarray(x[i][None]))
+                )[0]
+                np.testing.assert_allclose(out[i], want, rtol=0,
+                                           atol=1e-5)
+    finally:
+        regN.shutdown()
