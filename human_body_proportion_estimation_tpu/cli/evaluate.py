@@ -52,31 +52,19 @@ def load_coco(path: str):
     return images, gt
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser(
-        description="COCO-protocol evaluation of the fused pipeline"
-    )
-    parser.add_argument("--annotations", required=True,
-                        help="COCO-format JSON (bbox and/or keypoints)")
-    parser.add_argument("--images-dir", required=True)
-    parser.add_argument(
-        "--detector", default="ssd_mobilenet",
-        choices=["efficientdet_lite4", "efficientdet_lite0",
-                 "ssd_mobilenet", "yolov5s", "yolov5m"],
-    )
-    parser.add_argument("--checkpoint-dir", default=None)
-    parser.add_argument("--limit", type=int, default=0,
-                        help="evaluate only the first N images (0 = all)")
-    parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--compile-cache-dir", default="")
-    parser.add_argument("--no-compile-cache", action="store_true")
-    args = parser.parse_args(argv)
+def run_eval(
+    pipe,
+    annotations: str,
+    images_dir: str,
+    limit: int = 0,
+    batch_size: int = 8,
+) -> dict:
+    """Evaluate an already-built pipeline over a COCO-format val set.
 
-    if not args.no_compile_cache:
-        from human_body_proportion_estimation_tpu.utils import compile_cache
-
-        compile_cache.enable(args.compile_cache_dir or None)
-
+    Factored out of `main` so callers that already hold a compiled
+    pipeline (cli/certify.py's trained-checkpoint certification) can fill
+    the accuracy table without rebuilding + recompiling the fused program.
+    """
     import cv2
 
     from human_body_proportion_estimation_tpu.metrics import (
@@ -84,35 +72,20 @@ def main(argv=None):
         oks_ap,
         pck,
     )
-    from human_body_proportion_estimation_tpu.pipeline.host import (
-        InferencePipeline,
-    )
 
-    det_vars = pose_vars = None
-    if args.checkpoint_dir:
-        from human_body_proportion_estimation_tpu.models import weights
-
-        det_vars, pose_vars = weights.load_pipeline_checkpoint(
-            args.checkpoint_dir
-        )
-        if args.detector == "ssd_mobilenet":
-            det_vars = None  # SSD loads its own real weights
-    pipe = InferencePipeline(detector=args.detector, det_vars=det_vars,
-                             pose_vars=pose_vars)
-
-    images, gt = load_coco(args.annotations)
-    if args.limit:
-        images = images[: args.limit]
+    images, gt = load_coco(annotations)
+    if limit:
+        images = images[:limit]
 
     det_preds, det_gts = [], []
     kp_preds, kp_gts = [], []
     pck_scores = []
     n_missing = 0
-    for start in range(0, len(images), args.batch_size):
-        chunk = images[start:start + args.batch_size]
+    for start in range(0, len(images), batch_size):
+        chunk = images[start:start + batch_size]
         frames, ids = [], []
         for img_id, fname in chunk:
-            p = os.path.join(args.images_dir, fname)
+            p = os.path.join(images_dir, fname)
             bgr = cv2.imread(p)
             if bgr is None:
                 n_missing += 1
@@ -155,7 +128,6 @@ def main(argv=None):
 
     det = detection_ap(det_preds, det_gts)
     result = {
-        "detector": args.detector,
         "weights": dict(pipe.weights_origin),
         "images": len(det_preds),
         "missing_files": n_missing,
@@ -170,6 +142,55 @@ def main(argv=None):
             "PCK@0.1diag": (float(np.mean(pck_scores))
                             if pck_scores else float("nan")),
         })
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="COCO-protocol evaluation of the fused pipeline"
+    )
+    parser.add_argument("--annotations", required=True,
+                        help="COCO-format JSON (bbox and/or keypoints)")
+    parser.add_argument("--images-dir", required=True)
+    parser.add_argument(
+        "--detector", default="ssd_mobilenet",
+        choices=["efficientdet_lite4", "efficientdet_lite0",
+                 "ssd_mobilenet", "yolov5s", "yolov5m"],
+    )
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--limit", type=int, default=0,
+                        help="evaluate only the first N images (0 = all)")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--compile-cache-dir", default="")
+    parser.add_argument("--no-compile-cache", action="store_true")
+    args = parser.parse_args(argv)
+
+    if not args.no_compile_cache:
+        from human_body_proportion_estimation_tpu.utils import compile_cache
+
+        compile_cache.enable(args.compile_cache_dir or None)
+
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+
+    det_vars = pose_vars = None
+    if args.checkpoint_dir:
+        from human_body_proportion_estimation_tpu.models import weights
+
+        det_vars, pose_vars = weights.load_pipeline_checkpoint(
+            args.checkpoint_dir
+        )
+        if args.detector == "ssd_mobilenet":
+            det_vars = None  # SSD loads its own real weights
+    pipe = InferencePipeline(detector=args.detector, det_vars=det_vars,
+                             pose_vars=pose_vars)
+
+    result = {"detector": args.detector}
+    result.update(run_eval(
+        pipe, args.annotations, args.images_dir,
+        limit=args.limit, batch_size=args.batch_size,
+    ))
     print(json.dumps(result))
     return result
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from human_body_proportion_estimation_tpu.models.efficientdet import (
+    EFFICIENTDET_LITE0,
     EFFICIENTDET_LITE4,
     EfficientDet,
     EfficientDetConfig,
@@ -164,7 +165,7 @@ class InferencePipeline:
     def __init__(
         self,
         config: PipelineConfig | None = None,
-        det_config: EfficientDetConfig = EFFICIENTDET_LITE4,
+        det_config: EfficientDetConfig | None = None,
         rng_seed: int = 0,
         det_vars: Any | None = None,
         pose_vars: Any | None = None,
@@ -188,6 +189,14 @@ class InferencePipeline:
         self.config = config or PipelineConfig()
         cfg = self.config
         detector = detector or cfg.detector.name
+        if det_config is None:
+            # resolve the EfficientDet architecture from the slot name so
+            # name-only callers (cli/evaluate, cli/certify) can't pair a
+            # lite0 checkpoint with the default lite4 graph
+            det_config = (
+                EFFICIENTDET_LITE0 if detector == "efficientdet_lite0"
+                else EFFICIENTDET_LITE4
+            )
         if backend is not None:
             # pre-built detector slot (tests, custom configurations)
             self.backend = backend
