@@ -183,7 +183,17 @@ class HttpClient:
         return self._request("GET", "/metrics")
 
     def docs(self) -> Dict[str, Any]:
-        return self._request("GET", "/docs")
+        """The OpenAPI 3 document (/docs itself serves the Swagger-UI
+        HTML page, like the reference's FastAPI auto-docs)."""
+        return self._request("GET", "/openapi.json")
+
+    def live(self) -> bool:
+        """KServe-v2 liveness (tritonclient.is_server_live analog)."""
+        return self._request("GET", "/v2/health/live").get("live", False)
+
+    def ready(self) -> bool:
+        """KServe-v2 readiness (tritonclient.is_server_ready analog)."""
+        return self._request("GET", "/v2/health/ready").get("ready", False)
 
     def models(self) -> Dict[str, Any]:
         """Model-repository index (read-only mirror of the gRPC
@@ -191,5 +201,18 @@ class HttpClient:
         `serve.grpc_server.GrpcClient.infer`)."""
         return self._request("GET", "/v2/models")
 
-    def model_metadata(self, name: str) -> Dict[str, Any]:
-        return self._request("GET", f"/v2/models/{name}")
+    def model_metadata(self, name: str,
+                       version: str = "") -> Dict[str, Any]:
+        path = f"/v2/models/{name}"
+        if version:
+            path += f"/versions/{version}"
+        return self._request("GET", path)
+
+    def model_config(self, name: str, version: str = "") -> Dict[str, Any]:
+        """Triton get_model_config analog — fetched separately from
+        metadata, exactly like the reference client
+        (triton_utils.py:27-31)."""
+        path = f"/v2/models/{name}"
+        if version:
+            path += f"/versions/{version}"
+        return self._request("GET", path + "/config")

@@ -4,9 +4,10 @@ The reference's welcome JSON points users at ``/docs``
 (`uvicorn_server/server.py:122-124`), where FastAPI auto-renders an
 interactive OpenAPI UI from the route signatures. This framework's HTTP
 edge is stdlib (no FastAPI), so the schema is built explicitly here and
-served as JSON at both ``/docs`` and the FastAPI-conventional
-``/openapi.json`` — machine-readable contract parity
-(`serve.client.HttpClient.docs()` consumes it).
+served as JSON at the FastAPI-conventional ``/openapi.json`` while
+``/docs`` serves a Swagger-UI HTML page rendering it (what a browser
+gets from FastAPI) — machine-readable contract parity
+(`serve.client.HttpClient.docs()` consumes the JSON).
 
 The document is a plain literal: every path below corresponds one-to-one
 to a branch in `serve.server.make_handler`, and the multipart form fields
@@ -211,7 +212,9 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                 "responses": _json_response({"type": "object"}, "index"),
             }},
             "/v2/models/{name}": {"get": {
-                "summary": "Per-model metadata (gRPC ModelMetadata mirror)",
+                "summary": "Per-model metadata (gRPC ModelMetadata "
+                           "mirror); /v2/models/{name}/versions/1 "
+                           "equivalent",
                 "parameters": [{
                     "name": "name", "in": "path", "required": True,
                     "schema": {"type": "string"},
@@ -221,9 +224,38 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                     "404": {"description": "unknown model"},
                 },
             }},
+            "/v2/models/{name}/config": {"get": {
+                "summary": "Triton model-config analog (max_batch_size, "
+                           "instance_group/dp degree, dynamic_batching "
+                           "delay); fetched separately from metadata "
+                           "like tritonclient.get_model_config",
+                "parameters": [{
+                    "name": "name", "in": "path", "required": True,
+                    "schema": {"type": "string"},
+                }],
+                "responses": {
+                    **_json_response({"type": "object"}, "config"),
+                    "404": {"description": "unknown model"},
+                },
+            }},
+            "/v2/health/live": {"get": {
+                "summary": "KServe-v2 liveness",
+                "responses": _json_response({"type": "object"}, "live"),
+            }},
+            "/v2/health/ready": {"get": {
+                "summary": "KServe-v2 readiness",
+                "responses": _json_response({"type": "object"}, "ready"),
+            }},
             "/docs": {"get": {
-                "summary": "This OpenAPI 3 document (also at "
-                           "/openapi.json)",
+                "summary": "Interactive Swagger-UI page rendering "
+                           "/openapi.json (the FastAPI auto-docs role)",
+                "responses": {"200": {
+                    "description": "Swagger-UI HTML",
+                    "content": {"text/html": {}},
+                }},
+            }},
+            "/openapi.json": {"get": {
+                "summary": "This OpenAPI 3 document",
                 "responses": _json_response({"type": "object"}, "schema"),
             }},
         },

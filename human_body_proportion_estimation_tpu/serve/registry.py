@@ -70,6 +70,22 @@ TRITON_TO_NP = {
 }
 NP_TO_TRITON = {np.dtype(v): k for k, v in TRITON_TO_NP.items()}
 
+# Every model serves exactly one version, "1" — the analog of the
+# reference repo's Triton model directories `<name>/1/` (README :71-80).
+# tritonclient passes model_version="" (latest) or "1" on every call
+# (reference modules/triton_utils.py:21-31); anything else is NOT_FOUND.
+MODEL_VERSION = "1"
+
+
+def check_version(name: str, version: str) -> None:
+    """Raise KeyError (-> NOT_FOUND at both edges) for a version other
+    than '' (latest) or '1' — Triton's unknown-version behavior."""
+    if version not in ("", MODEL_VERSION):
+        raise KeyError(
+            f"model '{name}' has no version '{version}' "
+            f"(available: ['{MODEL_VERSION}'])"
+        )
+
 
 @dataclass(frozen=True)
 class TensorSpec:
@@ -101,6 +117,9 @@ class ModelEntry:
     weights: str                # "real" | "random"
     build: Callable[[], Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]]
     batch_timeout_ms: float = 4.0
+    # data-parallel degree the runner shards its batch over (Triton
+    # `instance_group {count: N}` analog); surfaced in the model config
+    dp: int = 1
     # hook invoked after unload() (e.g. releasing a core shared between
     # sibling entries once none of them is loaded)
     on_unload: Optional[Callable[[], None]] = None
@@ -239,6 +258,7 @@ class ModelRegistry:
         return [
             {
                 "name": m.name,
+                "version": MODEL_VERSION,
                 "state": "READY",
                 "loaded": m.loaded,
                 "weights": m.weights,
@@ -246,13 +266,16 @@ class ModelRegistry:
             for m in (self._models[n] for n in self.names())
         ]
 
-    def metadata(self, name: str) -> Dict[str, Any]:
+    def metadata(self, name: str, version: str = "") -> Dict[str, Any]:
         """The fields `parse_model_grpc` consumes (reference
         triton_utils.py:54-72): input/output names, dtypes, shapes,
-        max_batch_size."""
+        max_batch_size. `versions` mirrors Triton's single `<name>/1/`
+        model directory (reference README :71-80)."""
+        check_version(name, version)
         m = self._get(name)
         return {
             "name": m.name,
+            "versions": [MODEL_VERSION],
             "platform": m.platform,
             "max_batch_size": m.max_batch_size,
             "weights": m.weights,
@@ -268,11 +291,61 @@ class ModelRegistry:
             ],
         }
 
+    def config(self, name: str, version: str = "") -> Dict[str, Any]:
+        """Triton model-*config* analog — the second document tritonclient
+        fetches alongside metadata (`get_model_config`, reference
+        triton_utils.py:27-31; `parse_model_grpc` reads `config.input[i]
+        .format` and `config.max_batch_size`, :55-73).
+
+        Triton config conventions kept: `dims` EXCLUDE the batch dim when
+        max_batch_size > 0 (metadata shapes include it as -1);
+        `instance_group.count` is the data-parallel degree the runner
+        shards its coalesced batch over (`--data-parallel N`, the
+        `instance_group {count: N}` analog); `dynamic_batching` carries
+        the deadline-batcher's queue delay.
+        """
+        check_version(name, version)
+        m = self._get(name)
+
+        def _tensors(specs: List[TensorSpec]) -> List[Dict[str, Any]]:
+            return [
+                {
+                    "name": t.name,
+                    "data_type": f"TYPE_{t.datatype}",
+                    "format": "FORMAT_NONE",
+                    "dims": list(
+                        t.shape[1:] if m.max_batch_size > 0 else t.shape
+                    ),
+                }
+                for t in specs
+            ]
+
+        out: Dict[str, Any] = {
+            "name": m.name,
+            "platform": m.platform,
+            "max_batch_size": m.max_batch_size,
+            "version_policy": {"latest": {"num_versions": 1}},
+            "input": _tensors(m.inputs),
+            "output": _tensors(m.outputs),
+            "instance_group": [
+                {"count": m.dp, "kind": "KIND_MODEL"}
+            ],
+        }
+        if m.max_batch_size > 0:
+            out["dynamic_batching"] = {
+                "preferred_batch_size": [m.max_batch_size],
+                "max_queue_delay_microseconds": int(
+                    m.batch_timeout_ms * 1000
+                ),
+            }
+        return out
+
     def infer(
         self,
         name: str,
         inputs: Dict[str, np.ndarray],
         output_names: Optional[Sequence[str]] = None,
+        version: str = "",
     ) -> Dict[str, np.ndarray]:
         """Run a named model on numpy tensors (triton_client.infer analog).
 
@@ -280,6 +353,7 @@ class ModelRegistry:
         (lazily built) runner, optionally filters requested outputs —
         Triton's requested-outputs semantics (triton_utils.py:44-49).
         """
+        check_version(name, version)
         m = self._get(name)
         expected = {t.name: t for t in m.inputs}
         unknown = set(inputs) - set(expected)
@@ -393,6 +467,12 @@ def _pad_rows(n: int, cap: int, dp: int) -> int:
     return b
 
 
+def _mesh_dp(mesh) -> int:
+    """Data-parallel degree an entry's runner will shard over (matches
+    `_jit_batched_program`'s mesh handling)."""
+    return int(mesh.shape["data"]) if mesh is not None else 1
+
+
 def _jit_batched_program(program, variables, mesh):
     """jit a `(variables, x_batch) -> outputs` program; with a mesh the
     params are replicated and the batch dim sharded over 'data' — the
@@ -502,6 +582,7 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
         weights=weights,
         build=build,
         batch_timeout_ms=cfg.serve.batch_timeout_ms,
+        dp=_mesh_dp(mesh),
     )
 
 
@@ -573,6 +654,7 @@ def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
         weights=weights,
         build=build,
         batch_timeout_ms=cfg.serve.batch_timeout_ms,
+        dp=_mesh_dp(mesh),
     )
 
 
@@ -643,6 +725,7 @@ def _yolo_entry(cfg, variant: str = "yolov5m", shared_model=None,
         weights=weights,
         build=build,
         batch_timeout_ms=cfg.serve.batch_timeout_ms,
+        dp=_mesh_dp(mesh),
     )
 
 
@@ -966,8 +1049,11 @@ def _edet_entries(cfg, det_config, detector=None, det_vars=None,
             ],
             max_batch_size=0,
             weights=(
-                "real" if det_weights == "real" and pose_weights == "real"
-                else "random"
+                # weakest slot wins; non-random origins ("real",
+                # "synthetic-certified") propagate when they agree
+                "random" if "random" in (det_weights, pose_weights)
+                else det_weights if det_weights == pose_weights
+                else "mixed"
             ),
             build=build_ensemble,
         ),

@@ -66,6 +66,35 @@ WELCOME = {
         "Please visit /docs"
 }
 
+# /docs: the interactive Swagger-UI page FastAPI auto-serves in the
+# reference (uvicorn_server/server.py:122-124 points users here). Same
+# approach as FastAPI's get_swagger_ui_html: a tiny HTML shell pulling
+# the swagger-ui bundle from the public CDN and rendering /openapi.json.
+_SWAGGER_UI_HTML = """<!DOCTYPE html>
+<html>
+<head>
+  <meta charset="utf-8"/>
+  <title>Human Body Proportion Estimation - Swagger UI</title>
+  <link rel="stylesheet"
+        href="https://cdn.jsdelivr.net/npm/swagger-ui-dist@5/swagger-ui.css"/>
+</head>
+<body>
+  <div id="swagger-ui"></div>
+  <script src="https://cdn.jsdelivr.net/npm/swagger-ui-dist@5/swagger-ui-bundle.js"></script>
+  <script>
+    window.onload = () => {
+      window.ui = SwaggerUIBundle({
+        url: "/openapi.json",
+        dom_id: "#swagger-ui",
+        presets: [SwaggerUIBundle.presets.apis],
+        layout: "BaseLayout",
+      });
+    };
+  </script>
+</body>
+</html>
+"""
+
 
 class ServingApp:
     """Pipeline + batcher + metrics; handler classes bind to one instance."""
@@ -460,18 +489,53 @@ def make_handler(app: ServingApp):
                 self._send_json(payload)
             elif self.path == "/metrics":
                 self._send_json(app.metrics_snapshot())
+            elif self.path in ("/v2/health/live", "/v2/health/ready"):
+                # KServe-v2 liveness/readiness (Triton's /v2/health/*;
+                # tritonclient.is_server_live/is_server_ready). Every
+                # registered model is lazily servable, so a process that
+                # answers is both live and ready.
+                self._send_json({self.path.rsplit("/", 1)[1]: True})
             elif self.path == "/v2/models":
                 # repository index (read-only mirror of the gRPC
                 # RepositoryIndex RPC; tensor inference is gRPC-only,
                 # like the reference's Triton deployment)
                 self._send_json({"models": app.registry.index()})
             elif self.path.startswith("/v2/models/"):
-                name = self.path[len("/v2/models/"):]
+                # /v2/models/<name>[/versions/<v>][/config] — the KServe
+                # v2 layout tritonclient drives (metadata AND config are
+                # fetched separately, reference triton_utils.py:21-31)
+                parts = self.path[len("/v2/models/"):].split("/")
+                name, version = parts[0], ""
+                rest = parts[1:]
+                if len(rest) >= 2 and rest[0] == "versions":
+                    version, rest = rest[1], rest[2:]
                 try:
-                    self._send_json(app.registry.metadata(name))
+                    if rest == ["config"]:
+                        self._send_json(
+                            app.registry.config(name, version)
+                        )
+                    elif not rest:
+                        self._send_json(
+                            app.registry.metadata(name, version)
+                        )
+                    else:
+                        self._send_json({"detail": "Not Found"}, 404)
                 except KeyError as e:
                     self._send_json({"detail": str(e)}, 404)
-            elif self.path in ("/docs", "/openapi.json"):
+            elif self.path == "/docs":
+                # interactive Swagger-UI page rendering /openapi.json —
+                # what a browser gets from the reference's FastAPI /docs
+                # (uvicorn_server/server.py:122-124); assets come from
+                # the standard swagger-ui CDN exactly like FastAPI's
+                # bundled page
+                body = _SWAGGER_UI_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/openapi.json":
                 # real OpenAPI 3 document — contract parity with the
                 # FastAPI auto-docs the reference's welcome JSON points
                 # users at (uvicorn_server/server.py:122-124)
@@ -688,6 +752,7 @@ def main(argv=None):
         else EFFICIENTDET_LITE4
     )
     det_vars = pose_vars = None
+    synthetic_slots = []
     if args.checkpoint_dir:
         from human_body_proportion_estimation_tpu.models import weights
 
@@ -699,6 +764,28 @@ def main(argv=None):
             # checkpoint's detector slot is EfficientDet/YOLO-shaped and
             # would crash SSDBackend — use only the pose side
             det_vars = None
+    else:
+        # no checkpoint given: fall back to the committed synthetic-
+        # certified flagship weights (cli/certify.py --det-arch lite4;
+        # accuracy table in BENCHMARKS.md) for any slot that would
+        # otherwise serve random init. The reference NEVER serves
+        # untrained weights (README.md:13-26 download is mandatory);
+        # neither does the default server here.
+        import os as _os
+
+        from human_body_proportion_estimation_tpu.models import weights
+
+        _ckpt = weights.default_certified_checkpoint()
+        if _os.path.exists(_ckpt):
+            _det_c, pose_vars = weights.load_compact_checkpoint(_ckpt)
+            synthetic_slots.append("pose")
+            if args.detector == "efficientdet_lite4":
+                det_vars = _det_c
+                synthetic_slots.append("detector")
+            print(
+                "serving committed synthetic-certified weights for "
+                f"{'+'.join(synthetic_slots)} ({_ckpt})", flush=True,
+            )
     mesh = None
     if args.data_parallel > 1:
         from human_body_proportion_estimation_tpu.parallel.mesh import (
@@ -711,6 +798,10 @@ def main(argv=None):
         detector=args.detector,
         mesh=mesh,
     )
+    for slot in synthetic_slots:
+        # honest /health label: trained on synthetic scenes + certified
+        # (cm gates), not the upstream pretrained weights
+        pipeline.weights_origin[slot] = "synthetic-certified"
     if "random" in pipeline.weights_origin.values():
         print(
             "WARNING: serving RANDOM-INIT weights for "

@@ -261,6 +261,55 @@ def test_validation_errors(pipeline_and_registry):
         reg.infer("hrnet", {"input": x}, ["nope"])
 
 
+def test_model_version_surface(pipeline_and_registry):
+    """Triton serves each model from a `<name>/1/` version directory and
+    tritonclient passes model_version on every call (reference
+    triton_utils.py:21-31). The registry mirrors that: a constant version
+    '1', advertised in metadata/index, '' (latest) accepted everywhere,
+    anything else NOT_FOUND-shaped (KeyError)."""
+    _, reg = pipeline_and_registry
+    meta = reg.metadata("hrnet")
+    assert meta["versions"] == ["1"]
+    assert reg.metadata("hrnet", "1") == meta
+    assert all(row["version"] == "1" for row in reg.index())
+    with pytest.raises(KeyError, match="no version '2'"):
+        reg.metadata("hrnet", "2")
+    with pytest.raises(KeyError, match="no version"):
+        reg.config("hrnet", "0")
+    with pytest.raises(KeyError, match="no version"):
+        reg.infer("hrnet", {"input": np.zeros((1, 3, 64, 64), np.float32)},
+                  version="2")
+
+
+def test_model_config_is_triton_shaped(pipeline_and_registry):
+    """The model-*config* document tritonclient fetches separately from
+    metadata (reference triton_utils.py:27-31; parse_model_grpc reads
+    config.input[i].format + config.max_batch_size, :55-73). Triton
+    conventions: config dims EXCLUDE the batch dim when max_batch_size>0;
+    instance_group.count is the dp degree; dynamic_batching carries the
+    coalescing window."""
+    _, reg = pipeline_and_registry
+    cfg = reg.config("hrnet")
+    assert cfg["max_batch_size"] == 4
+    (inp,) = cfg["input"]
+    # metadata shape [-1, 3, 64, 64] -> config dims [3, 64, 64]
+    assert inp == {"name": "input", "data_type": "TYPE_FP32",
+                   "format": "FORMAT_NONE", "dims": [3, 64, 64]}
+    assert cfg["instance_group"] == [{"count": 1, "kind": "KIND_MODEL"}]
+    db = cfg["dynamic_batching"]
+    assert db["preferred_batch_size"] == [4]
+    assert db["max_queue_delay_microseconds"] > 0
+
+    # fixed-signature model (max_batch_size == 0): dims = full shape,
+    # no dynamic_batching block
+    cfg = reg.config("edetlite4")
+    assert cfg["max_batch_size"] == 0
+    assert cfg["input"][0]["dims"] == [1, -1, -1, 3]
+    assert "dynamic_batching" not in cfg
+    with pytest.raises(KeyError, match="not found"):
+        reg.config("nope")
+
+
 def test_per_model_dynamic_batching(pipeline_and_registry):
     """Concurrent ModelInfer requests to a batched model coalesce into
     fewer device launches (Triton dynamic_batching semantics) with

@@ -532,3 +532,57 @@ def test_openapi_docs_contract(served_app):
     }
     _, alias = _get(port, "/openapi.json")
     assert alias == doc
+
+
+def test_docs_serves_swagger_ui_html(served_app):
+    """/docs returns the interactive Swagger-UI page rendering
+    /openapi.json — what a browser gets from the reference's FastAPI
+    /docs (uvicorn_server/server.py:122-124)."""
+    port, _ = served_app
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/docs")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/html")
+    assert "/openapi.json" in body
+    assert "swagger-ui" in body.lower()
+
+
+def test_v2_health_and_model_config(served_app):
+    """KServe-v2 surface: /v2/health/live|ready (tritonclient
+    is_server_live/ready), model version in index/metadata (Triton's
+    `<name>/1/` dir layout), and /v2/models/<name>/config fetched
+    separately from metadata (reference triton_utils.py:21-31)."""
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    client = HttpClient("127.0.0.1", port)
+    assert client.live() is True
+    assert client.ready() is True
+
+    idx = client.models()
+    assert all(m["version"] == "1" for m in idx["models"])
+
+    meta = client.model_metadata("hrnet")
+    assert meta["versions"] == ["1"]
+    via_version = client.model_metadata("hrnet", version="1")
+    via_version.pop("_http_status")
+    meta2 = dict(meta)
+    meta2.pop("_http_status")
+    assert via_version == meta2
+
+    cfg = client.model_config("hrnet")
+    assert cfg["_http_status"] == 200
+    assert cfg["max_batch_size"] == 4
+    assert cfg["input"][0]["dims"] == [3, 64, 64]  # batch dim excluded
+    assert cfg["input"][0]["format"] == "FORMAT_NONE"
+    assert cfg["instance_group"] == [{"count": 1, "kind": "KIND_MODEL"}]
+    assert cfg["dynamic_batching"]["preferred_batch_size"] == [4]
+
+    # unknown version / model / trailing segment -> 404, never 500
+    assert client.model_metadata("hrnet", version="2")["_http_status"] == 404
+    assert client.model_config("nope")["_http_status"] == 404
+    status, _ = _get(port, "/v2/models/hrnet/bogus")
+    assert status == 404
