@@ -22,6 +22,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the suite: the tiny-pipeline /
+# mesh programs re-traced by many test modules compile once per
+# machine instead of once per session (the suite's wall time is
+# dominated by XLA:CPU compiles on the single shared core). Dedicated
+# directory so TPU/server entries never mix in; override with
+# HBPE_PYTEST_CACHE_DIR, disable with HBPE_PYTEST_CACHE_DIR=''.
+_cache_dir = os.environ.get(
+    "HBPE_PYTEST_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 "hbpe_xla_cache_pytest"),
+)
+if _cache_dir:
+    from human_body_proportion_estimation_tpu.utils import (  # noqa: E402
+        compile_cache,
+    )
+
+    compile_cache.enable(_cache_dir)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
