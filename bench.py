@@ -33,6 +33,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from human_body_proportion_estimation_tpu.models import weights
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,
     )
@@ -42,7 +43,21 @@ def main():
     # minute tunnel compile; steady-state timing below is unaffected
     compile_cache.enable()
 
-    pipe = InferencePipeline()
+    # flagship weights: the committed synthetic-certified checkpoint
+    # (cli/certify.py --det-arch lite4, accuracy in BENCHMARKS.md) — the
+    # bench exercises CORRECT outputs, not random-init garbage. Throughput
+    # is weight-independent; this changes what the numbers mean, not what
+    # they are.
+    import os
+
+    ckpt = weights.default_certified_checkpoint()
+    if os.path.exists(ckpt):
+        det_vars, pose_vars = weights.load_compact_checkpoint(ckpt)
+        pipe = InferencePipeline(det_vars=det_vars, pose_vars=pose_vars)
+        pipe.weights_origin = {"detector": "synthetic-certified",
+                               "pose": "synthetic-certified"}
+    else:
+        pipe = InferencePipeline()
     cfg = pipe.config
     rng = np.random.default_rng(0)
     images = jnp.asarray(

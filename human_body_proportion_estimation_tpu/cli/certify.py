@@ -328,6 +328,13 @@ def main(argv=None):
              "(reference ssd.tflite) — its box-height error (~2-3%% "
              "median on renders) then bounds the cm scale",
     )
+    parser.add_argument(
+        "--det-arch", default="lite0", choices=("lite0", "lite4"),
+        help="trained-detector architecture: lite0 (fast) or lite4 — the "
+             "reference's production detector (edetlite4) and the bench "
+             "flagship; certifying with lite4 yields a checkpoint the "
+             "flagship bench/server load directly",
+    )
     parser.add_argument("--det-threshold", type=float, default=0.35,
                         help="serving form threshold for the trained "
                              "detector (focal-trained sigmoid scores run "
@@ -425,11 +432,17 @@ def main(argv=None):
         args.det_lr = 1e-3
         args.tolerance_cm = max(args.tolerance_cm, 8.0)
     else:
+        from human_body_proportion_estimation_tpu.models.efficientdet import (  # noqa: E501
+            EFFICIENTDET_LITE4,
+        )
+
+        det_name = f"efficientdet_{args.det_arch}"
         cfg = PipelineConfig(
-            detector=DetectorConfig(name="efficientdet_lite0"),
+            detector=DetectorConfig(name=det_name),
         )
         pose_model = create_hrnet("hrnet_w32")
-        det_config = EFFICIENTDET_LITE0
+        det_config = (EFFICIENTDET_LITE0 if args.det_arch == "lite0"
+                      else EFFICIENTDET_LITE4)
         scene_kwargs = {}
 
     img_hw = (cfg.detector.input_height, cfg.detector.input_width)
@@ -534,7 +547,7 @@ def main(argv=None):
         )
     else:
         pipeline = InferencePipeline(
-            config=cfg, detector="efficientdet_lite0",
+            config=cfg, detector=cfg.detector.name,
             det_vars=det_r, pose_vars=pose_r,
         )
 

@@ -70,6 +70,66 @@ def load_pose_checkpoint(directory: str) -> Any:
 
 
 # --------------------------------------------------------------------- #
+# compact single-file checkpoints (repo-committable certified weights)
+#
+# The reference makes pretrained weights a hard prerequisite (README
+# :13-26 Google-Drive download). This framework commits its synthetic-
+# certified flagship weights IN the repo so a fresh clone serves
+# meaningful outputs with zero downloads: one compressed .npz per
+# checkpoint, tensors stored float16 (the params are consumed as bf16 on
+# the MXU anyway; f16's 10 mantissa bits upper-bound the quantization
+# error at ~0.05%, far below the certified cm tolerance), keys are
+# '/'-joined pytree paths.
+
+
+def save_compact_checkpoint(path: str, det_vars: Any, pose_vars: Any):
+    """Write det+pose variable pytrees into one compressed .npz."""
+    flat: Dict[str, np.ndarray] = {}
+    for prefix, tree in (("det", det_vars), ("pose", pose_vars)):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for keypath, leaf in leaves:
+            name = prefix + "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k)))
+                for k in keypath
+            )
+            arr = np.asarray(leaf)
+            if arr.dtype in (np.float32, np.float64):
+                arr = arr.astype(np.float16)
+            flat[name] = arr
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_compact_checkpoint(path: str) -> Tuple[Any, Any]:
+    """Restore (det_vars, pose_vars) from a compact .npz; float tensors
+    come back float32 (params are kept f32 at rest, bf16 in compute —
+    the framework-wide convention)."""
+    data = np.load(path)
+    trees: Dict[str, Dict] = {"det": {}, "pose": {}}
+    for name in data.files:
+        parts = name.split("/")
+        node = trees[parts[0]]
+        for p in parts[1:-1]:
+            node = node.setdefault(p, {})
+        arr = data[name]
+        if arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        node[parts[-1]] = arr
+    return trees["det"], trees["pose"]
+
+
+def default_certified_checkpoint() -> str:
+    """Path of the committed synthetic-certified flagship checkpoint
+    (EfficientDet-Lite4 @ 480x640 + HRNet-W32 @ 384x288, trained by
+    `cli/certify.py --det-arch lite4` on-chip; see BENCHMARKS.md
+    'Accuracy (measured)')."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "checkpoints", "certified_lite4_w32.npz",
+    )
+
+
+# --------------------------------------------------------------------- #
 # torch pose_hrnet <-> flax name mapping
 #
 # Official naming (pose_hrnet): conv1/bn1, conv2/bn2, layer1.{k}.conv{c}/

@@ -86,3 +86,30 @@ def test_orbax_checkpoint_roundtrip(tmp_path, hrnet_vars):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_compact_checkpoint_roundtrip(tmp_path, hrnet_vars):
+    """Repo-committable single-file f16 checkpoint: same tree structure
+    back, float leaves within f16 quantization (~2^-11 relative), int
+    leaves (batch_stats counters etc.) exact."""
+    det = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3) * 0.01},
+        "batch_stats": {"count": np.array([3], np.int64)},
+    }
+    p = str(tmp_path / "ck.npz")
+    W.save_compact_checkpoint(p, det, hrnet_vars)
+    det2, pose2 = W.load_compact_checkpoint(p)
+    np.testing.assert_allclose(
+        np.asarray(det2["params"]["w"]),
+        np.asarray(det["params"]["w"]), rtol=1e-3,
+    )
+    assert det2["params"]["w"].dtype == np.float32
+    np.testing.assert_array_equal(det2["batch_stats"]["count"],
+                                  det["batch_stats"]["count"])
+    flat_a = jax.tree_util.tree_flatten_with_path(hrnet_vars)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(pose2)[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, x), (kb, y) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=1e-6)
