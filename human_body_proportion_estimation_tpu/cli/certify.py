@@ -353,6 +353,16 @@ def main(argv=None):
                              "models, marker scenes (minutes, no chip)")
     parser.add_argument("--compile-cache-dir", default="")
     parser.add_argument("--no-compile-cache", action="store_true")
+    parser.add_argument(
+        "--emit-compact", nargs="?", const="default", default="",
+        metavar="PATH",
+        help="on a CERTIFIED run, additionally write the compact "
+             "committable .npz checkpoint (models/weights."
+             "save_compact_checkpoint) to PATH; bare --emit-compact "
+             "writes models.weights.default_certified_checkpoint() — "
+             "the file bench.py and the server load for flagship "
+             "weights",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -485,6 +495,9 @@ def main(argv=None):
             learning_rate=args.pose_lr, seed=args.seed,
             chunk=100, sigma=1.5 if args.smoke else 2.0,
             log_fn=lambda s, z: log(f"  pose step {s}: loss {z:.5f}"),
+            # production-shape runs get warmup+cosine; the smoke's tiny
+            # 400-step model converges better at a constant LR
+            cosine=not args.smoke,
         )
         report["pose_loss_first"] = pose_losses[0]
         report["pose_loss_last"] = pose_losses[-1]
@@ -502,6 +515,7 @@ def main(argv=None):
                 learning_rate=args.det_lr, seed=args.seed,
                 chunk=100,
                 log_fn=lambda s, z: log(f"  det step {s}: loss {z:.5f}"),
+                cosine=not args.smoke,
             )
             report["det_loss_first"] = det_losses[0]
             report["det_loss_last"] = det_losses[-1]
@@ -614,6 +628,17 @@ def main(argv=None):
     report["gates"] = gates
     report["certified"] = all(gates.values())
     report["wall_s"] = time.time() - t_start
+
+    if args.emit_compact and report["certified"]:
+        compact_path = (weights.default_certified_checkpoint()
+                        if args.emit_compact == "default"
+                        else args.emit_compact)
+        weights.save_compact_checkpoint(compact_path, det_r, pose_r)
+        report["compact_checkpoint"] = compact_path
+        log(f"compact certified checkpoint written to {compact_path} "
+            f"({os.path.getsize(compact_path) / 1e6:.1f} MB)")
+    elif args.emit_compact:
+        log("certification FAILED — compact checkpoint NOT written")
 
     with open(os.path.join(args.workdir, "report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -271,27 +271,36 @@ def train_pose_resident(
     chunk: int = 50,
     sigma: float = 2.0,
     log_fn=None,
+    cosine: bool = False,
 ) -> Tuple[dict, List[float]]:
     """Train the pose model with the whole dataset device-resident.
 
     Returns (pose_vars {'params','batch_stats'}, per-chunk mean losses).
     Each jitted call advances `chunk` optimizer steps via lax.fori_loop;
     only the [chunk, batch] index array crosses the host->device link per
-    call (the tunnel-friendly training pattern).
+    call (the tunnel-friendly training pattern). `cosine` switches to
+    warmup + cosine-decay over `steps` — the production-shape recipe
+    (short reduced-shape runs converge better at a constant LR).
     """
     from human_body_proportion_estimation_tpu.training import trainer as T
 
     n, ch, cw = crops_u8.shape[0], crops_u8.shape[1], crops_u8.shape[2]
     hm_h, hm_w = ch // 4, cw // 4
     state, tx = T.create_train_state(
-        model, jax.random.PRNGKey(seed), (1, ch, cw, 3), learning_rate
+        model, jax.random.PRNGKey(seed), (1, ch, cw, 3), learning_rate,
+        total_steps=steps if cosine else None,
+        warmup_steps=min(max(steps // 20, 20), 500) if cosine else 0,
     )
     d_crops = jax.device_put(crops_u8)
     d_kp = jax.device_put(kp_hm.astype(np.float32))
     d_vis = jax.device_put(vis)
 
+    # the dataset arrays are explicit jit ARGUMENTS, not closure captures:
+    # a closed-over device array lowers as an HLO constant, and through
+    # the axon remote-compile tunnel a several-hundred-MB constant blob
+    # inflates (and past ~300 MB, HTTP-413-kills) the compile request
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(st, idx):
+    def run_chunk(st, idx, d_crops, d_kp, d_vis):
         def body(i, carry):
             st, loss_sum = carry
             sel = idx[i]
@@ -315,7 +324,8 @@ def train_pose_resident(
     while done < steps:
         k = min(chunk, steps - done)
         idx = rng.integers(0, n, (k, batch)).astype(np.int32)
-        state, mean_loss = run_chunk(state, jnp.asarray(idx))
+        state, mean_loss = run_chunk(state, jnp.asarray(idx),
+                                     d_crops, d_kp, d_vis)
         losses.append(float(jax.device_get(mean_loss)))
         done += k
         if log_fn:
@@ -339,22 +349,31 @@ def train_det_resident(
     seed: int = 0,
     chunk: int = 50,
     log_fn=None,
+    cosine: bool = True,
 ) -> Tuple[dict, List[float]]:
     """Train the EfficientDet detector with the dataset device-resident
-    (same chunked fori_loop scheme as `train_pose_resident`)."""
+    (same chunked fori_loop scheme as `train_pose_resident`). `cosine`
+    (default on — detection training is the production-shape path) uses
+    warmup + cosine decay over `steps` plus global-norm grad clipping."""
     from human_body_proportion_estimation_tpu.training import detection as D
 
     n, h, w = images_u8.shape[0], images_u8.shape[1], images_u8.shape[2]
     state, tx = D.create_det_train_state(
-        model, jax.random.PRNGKey(seed), (1, h, w, 3), learning_rate
+        model, jax.random.PRNGKey(seed), (1, h, w, 3), learning_rate,
+        total_steps=steps if cosine else None,
+        warmup_steps=min(max(steps // 20, 20), 500) if cosine else 0,
+        clip_norm=10.0 if cosine else 0.0,
     )
     d_imgs = jax.device_put(images_u8)
     d_boxes = jax.device_put(gt_boxes.astype(np.float32))
     d_cls = jax.device_put(gt_classes.astype(np.int32))
     d_valid = jax.device_put(gt_valid)
 
+    # dataset as jit arguments, not closure constants (see
+    # train_pose_resident: closure capture ships the dataset inside the
+    # remote-compile request)
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(st, idx):
+    def run_chunk(st, idx, d_imgs, d_boxes, d_cls, d_valid):
         def body(i, carry):
             st, loss_sum = carry
             sel = idx[i]
@@ -375,7 +394,8 @@ def train_det_resident(
     while done < steps:
         k = min(chunk, steps - done)
         idx = rng.integers(0, n, (k, batch)).astype(np.int32)
-        state, mean_loss = run_chunk(state, jnp.asarray(idx))
+        state, mean_loss = run_chunk(state, jnp.asarray(idx),
+                                     d_imgs, d_boxes, d_cls, d_valid)
         losses.append(float(jax.device_get(mean_loss)))
         done += k
         if log_fn:

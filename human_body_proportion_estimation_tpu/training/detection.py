@@ -47,10 +47,43 @@ def create_det_train_state(
     rng: jax.Array,
     input_shape: Tuple[int, int, int, int],
     learning_rate: float = 1e-3,
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+    clip_norm: float = 0.0,
 ) -> tuple[DetTrainState, optax.GradientTransformation]:
+    """Init params + optimizer for detector training from scratch.
+
+    The class head's prediction bias is initialized to the focal prior
+    log(pi/(1-pi)), pi=0.01 (RetinaNet arxiv 1708.02002 §4.1 / automl
+    efficientdet): with a zero bias every one of the ~50k anchors starts
+    at p=0.5 and the first epochs are spent suppressing background (the
+    r03 chip run opened at loss 35090 and never recovered detection
+    quality); with the prior, background is near-converged at init and
+    capacity goes to the objects.
+
+    `total_steps` switches the constant Adam LR to linear-warmup +
+    cosine-decay over the run (`warmup_steps` long); `clip_norm` > 0 adds
+    global-norm gradient clipping.
+    """
     variables = model.init(rng, jnp.zeros(input_shape, jnp.uint8))
-    tx = optax.adam(learning_rate)
     params = variables["params"]
+    head = params.get("class_net", {}).get("predict_pw")
+    if head is not None and "bias" in head:
+        prior = float(jnp.log(jnp.asarray(0.01 / 0.99)))
+        head["bias"] = jnp.full_like(head["bias"], prior)
+    if total_steps is not None:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=0.03 * learning_rate,
+        )
+        tx = optax.adam(schedule)
+    else:
+        tx = optax.adam(learning_rate)
+    if clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return (
         DetTrainState(
             step=jnp.zeros((), jnp.int32),

@@ -33,9 +33,24 @@ def create_train_state(
     rng: jax.Array,
     input_shape: Tuple[int, int, int, int],
     learning_rate: float = 1e-3,
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
 ) -> tuple[PoseTrainState, optax.GradientTransformation]:
+    """`total_steps` switches the constant Adam LR to linear-warmup +
+    cosine-decay over the run — the standard HRNet fine-tune schedule
+    shape; the decayed tail is what lets the heatmap head settle to
+    sub-bin peak placement instead of orbiting at a constant LR."""
     variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
-    tx = optax.adam(learning_rate)
+    if total_steps is not None:
+        tx = optax.adam(optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=0.03 * learning_rate,
+        ))
+    else:
+        tx = optax.adam(learning_rate)
     params = variables["params"]
     return (
         PoseTrainState(
