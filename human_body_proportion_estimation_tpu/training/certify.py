@@ -272,6 +272,7 @@ def train_pose_resident(
     sigma: float = 2.0,
     log_fn=None,
     cosine: bool = False,
+    fg_weight: float = 0.0,
 ) -> Tuple[dict, List[float]]:
     """Train the pose model with the whole dataset device-resident.
 
@@ -310,6 +311,7 @@ def train_pose_resident(
             st, loss = T.train_step(
                 model, tx, st, imgs, tgt,
                 d_vis[sel].astype(jnp.float32),
+                fg_weight=fg_weight,
             )
             return st, loss_sum + loss
 
@@ -335,6 +337,81 @@ def train_pose_resident(
         "batch_stats": jax.device_get(state.batch_stats),
     }
     return pose_vars, losses
+
+
+def pose_peak_scores(
+    model, pose_vars, crops_u8: np.ndarray, batch: int = 8
+) -> np.ndarray:
+    """Per-keypoint heatmap max scores [N, 17] — the exact quantity the
+    serving path gates on (reference driver
+    `person_det_pose_edet4_trtserver.py:162-163`)."""
+
+    @jax.jit
+    def peak(imgs_u8):
+        hm = model.apply(pose_vars, imgs_u8.astype(jnp.float32) / 255.0)
+        return jnp.max(hm, axis=(1, 2))  # NHWC -> [B, K]
+
+    out = []
+    for s in range(0, len(crops_u8), batch):
+        chunk = crops_u8[s:s + batch]
+        if len(chunk) < batch:  # pad to the jit shape, then trim
+            pad = np.repeat(chunk[:1], batch - len(chunk), axis=0)
+            out.append(np.asarray(peak(jnp.asarray(
+                np.concatenate([chunk, pad]))))[: len(chunk)])
+        else:
+            out.append(np.asarray(peak(jnp.asarray(chunk))))
+    return np.concatenate(out)
+
+
+def calibrate_pose_gates(
+    pose_vars,
+    scores: np.ndarray,        # [N, 17] peak scores on calibration crops
+    visible: np.ndarray,       # [N, 17] bool
+    thresholds: Sequence[float],
+    quantile: float = 5.0,
+    margin: float = 1.3,
+    max_gamma: float = 4.0,
+) -> Tuple[dict, np.ndarray]:
+    """Per-keypoint amplitude calibration of the HRNet head.
+
+    The reference's per-keypoint confidence gates (0.10-0.46,
+    `person_det_pose_edet4_trtserver.py:162-163` via
+    `utils/config.PoseConfig.keypoint_thresholds`) were tuned to the
+    upstream MSCOCO-pretrained model's score distribution. A
+    synthetic-trained head localizes as well (measured ~5 hm-px) but its
+    peak amplitudes sit lower, so correct keypoints get gated off as
+    "Part not visible". Scaling keypoint k's head channel (1x1-conv
+    kernel column + bias) by gamma_k multiplies its heatmap — and hence
+    its gate score — by gamma_k while leaving the argmax/decode
+    geometry bit-identical. gamma_k is chosen so the `quantile`-th
+    percentile of VISIBLE-keypoint scores clears the gate with `margin`,
+    clipped to [1, max_gamma] so an unconverged keypoint cannot be
+    inflated past gates it should fail.
+
+    Returns (calibrated pose_vars, gamma [17]).
+    """
+    thr = np.asarray(thresholds, np.float64)
+    k_n = thr.shape[0]
+    gamma = np.ones(k_n)
+    for k in range(k_n):
+        vis_scores = scores[visible[:, k], k]
+        if vis_scores.size == 0:
+            continue
+        q = float(np.percentile(vis_scores, quantile))
+        gamma[k] = float(np.clip(margin * thr[k] / max(q, 1e-6),
+                                 1.0, max_gamma))
+
+    head = pose_vars["params"]["head"]
+    new_head = dict(
+        head,
+        kernel=np.asarray(head["kernel"])
+        * gamma.astype(np.asarray(head["kernel"]).dtype),
+        bias=np.asarray(head["bias"])
+        * gamma.astype(np.asarray(head["bias"]).dtype),
+    )
+    new_vars = dict(pose_vars)
+    new_vars["params"] = dict(pose_vars["params"], head=new_head)
+    return new_vars, gamma
 
 
 def train_det_resident(

@@ -89,8 +89,18 @@ def train_step(
     images: jax.Array,    # [B, H, W, 3] float in [0,1]
     targets: jax.Array,   # [B, H/4, W/4, K]
     target_weight: jax.Array | None = None,  # [B, K] visibility weights
+    fg_weight: float = 0.0,
 ) -> tuple[PoseTrainState, jax.Array]:
-    """One optimizer step; pure function of (state, batch)."""
+    """One optimizer step; pure function of (state, batch).
+
+    `fg_weight` up-weights the Gaussian-peak pixels in the MSE by
+    ``1 + fg_weight * target``: with plain MSE the ~17x96x72 background
+    pixels dominate the gradient and the head settles on wide,
+    low-amplitude peaks (measured p50 max-score 0.12-0.29) — far below
+    the reference's per-keypoint serving gates (up to 0.46,
+    `person_det_pose_edet4_trtserver.py:162-163`). Peak-weighted MSE is
+    the standard heatmap-regression fix and costs one fused multiply.
+    """
 
     def loss_fn(params):
         out, mutated = model.apply(
@@ -100,6 +110,8 @@ def train_step(
             mutable=["batch_stats"],
         )
         err = (out - targets) ** 2
+        if fg_weight:
+            err = err * (1.0 + fg_weight * targets)
         if target_weight is not None:
             err = err * target_weight[:, None, None, :]
         return jnp.mean(err), mutated["batch_stats"]
