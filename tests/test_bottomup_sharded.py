@@ -2,6 +2,12 @@
 output must match the single-device run (tolerance-based — conv batching
 differs per shard) and actually span all devices."""
 
+import pytest
+
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -4,6 +4,11 @@ loss semantics, and an end-to-end sharded train step on the tiny config."""
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 import jax
 import jax.numpy as jnp
 

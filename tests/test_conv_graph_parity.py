@@ -12,6 +12,11 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 tf = pytest.importorskip("tensorflow")
 
 from human_body_proportion_estimation_tpu.ops.boxes import (  # noqa: E402

@@ -7,6 +7,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 from human_body_proportion_estimation_tpu.models import efficientdet as E
 from human_body_proportion_estimation_tpu.models.anchors import (
     AnchorConfig,

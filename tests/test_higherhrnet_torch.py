@@ -6,6 +6,11 @@ model family the reference serves (`pose_est_hrnet_trtserver.py:22-28`)."""
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

@@ -5,6 +5,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 from human_body_proportion_estimation_tpu.models.hrnet import HRNET_W32, HRNet
 from human_body_proportion_estimation_tpu.parallel import mesh as M
 from human_body_proportion_estimation_tpu.training import trainer as T

@@ -4,6 +4,11 @@ import threading
 
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny_server():

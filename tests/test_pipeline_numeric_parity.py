@@ -6,6 +6,11 @@ boxes the device emitted."""
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 from human_body_proportion_estimation_tpu.models.efficientdet import (
     EFFICIENTDET_LITE0,
 )

@@ -2,6 +2,11 @@
 
 import numpy as np
 import pytest
+
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
 import jax
 
 from human_body_proportion_estimation_tpu.models.efficientdet import (

@@ -32,6 +32,11 @@ import uuid
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 import jax
 import jax.numpy as jnp
 

@@ -19,6 +19,11 @@ constructed oracle:
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 tf = pytest.importorskip("tensorflow")
 
 import jax  # noqa: E402

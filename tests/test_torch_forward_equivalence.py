@@ -15,6 +15,11 @@ converter path loads it unchanged.
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

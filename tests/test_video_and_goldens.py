@@ -11,6 +11,11 @@ import os
 import numpy as np
 import pytest
 
+# heavy tier: in-test training loops / mesh programs / subprocess servers /
+# oracle frameworks — deselect with -m 'not slow' for the fast ops/unit tier
+pytestmark = pytest.mark.slow
+
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "data",
                            "ssd_goldens.json")
 FIXTURES = {
