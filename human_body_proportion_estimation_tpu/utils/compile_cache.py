@@ -39,7 +39,24 @@ def enable(directory: str | None = None) -> str:
 
     directory = directory or DEFAULT_DIR
     os.makedirs(directory, exist_ok=True)
+    repointed = (
+        jax.config.jax_compilation_cache_dir is not None
+        and jax.config.jax_compilation_cache_dir != directory
+    )
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    if repointed:
+        # jax builds its persistent-cache object once, on the first
+        # compilation after the cache dir is set; re-pointing the config
+        # later (e.g. a server --compile-cache-dir after some earlier jit
+        # already initialized the default dir) is silently ignored unless
+        # the cache instance is reset. Resetting drops no compiled
+        # executables — only the handle to the old directory.
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
     return directory
