@@ -66,7 +66,13 @@ def run_pdet_pose(
 ) -> List[List[Any]]:
     """Run the fused pipeline over media; returns the reference-parity
     nested result list (`run_pdet_pose`, driver :29-201)."""
-    pipe = pipeline or InferencePipeline()
+    if pipeline is None:
+        from human_body_proportion_estimation_tpu.cli.common import (
+            build_pipeline,
+        )
+
+        pipeline = build_pipeline()   # certified weights when committed
+    pipe = pipeline
     start = time.time()
     save_dir = None
     if save_result_dir:

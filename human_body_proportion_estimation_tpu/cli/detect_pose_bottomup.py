@@ -35,7 +35,15 @@ def run_bottomup(
     debug: bool = True,
     batch_size: int = 8,
 ) -> List[List[Any]]:
-    pipe = pipeline or BottomUpPipeline()
+    if pipeline is None:
+        from human_body_proportion_estimation_tpu.models import weights
+
+        # certified checkpoint (when committed) instead of random init
+        _, pose_c = weights.maybe_load_certified(bottom_up=True)
+        pipeline = BottomUpPipeline(pose_vars=pose_c)
+        if pose_c is not None:
+            pipeline.weights_origin["pose"] = "synthetic-certified"
+    pipe = pipeline
     start = time.time()
     save_dir = None
     if save_result_dir:

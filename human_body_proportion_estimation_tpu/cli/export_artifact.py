@@ -67,14 +67,20 @@ def main(argv=None):
             export_serving_artifact,
         )
 
-        pose_vars = None
-        if args.checkpoint_dir:
-            from human_body_proportion_estimation_tpu.models import weights
+        from human_body_proportion_estimation_tpu.models import weights
 
+        pose_vars = None
+        bu_certified = False
+        if args.checkpoint_dir:
             _, pose_vars = weights.load_pipeline_checkpoint(
                 args.checkpoint_dir
             )
+        else:
+            _, pose_vars = weights.maybe_load_certified(bottom_up=True)
+            bu_certified = pose_vars is not None
         pipeline = BottomUpPipeline(pose_vars=pose_vars)
+        if bu_certified:
+            pipeline.weights_origin["pose"] = "synthetic-certified"
         if pipeline.weights_origin["pose"] == "random":
             print(
                 "WARNING: exporting RANDOM-INIT HigherHRNet — the artifact "
@@ -98,10 +104,11 @@ def main(argv=None):
         InferencePipeline,
     )
 
-    det_vars = pose_vars = None
-    if args.checkpoint_dir:
-        from human_body_proportion_estimation_tpu.models import weights
+    from human_body_proportion_estimation_tpu.models import weights
 
+    det_vars = pose_vars = None
+    certified_slots = []
+    if args.checkpoint_dir:
         det_vars, pose_vars = weights.load_pipeline_checkpoint(
             args.checkpoint_dir
         )
@@ -109,6 +116,14 @@ def main(argv=None):
             # SSD builds its own real weights; the checkpoint's detector
             # slot is EfficientDet/YOLO-shaped (mirrors serve.server)
             det_vars = None
+    else:
+        det_c, pose_c = weights.maybe_load_certified()
+        if pose_c is not None:
+            pose_vars = pose_c
+            certified_slots.append("pose")
+            if args.detector == "efficientdet_lite4":
+                det_vars = det_c
+                certified_slots.append("detector")
 
     pipeline = InferencePipeline(
         det_config=(EFFICIENTDET_LITE0
@@ -118,6 +133,8 @@ def main(argv=None):
         pose_vars=pose_vars,
         detector=args.detector,
     )
+    for slot in certified_slots:
+        pipeline.weights_origin[slot] = "synthetic-certified"
     if "random" in pipeline.weights_origin.values():
         print(
             "WARNING: exporting RANDOM-INIT weights for "

@@ -513,6 +513,39 @@ def _init_on_cpu(fn):
     return _device_put_default(variables)
 
 
+def _certified_fallback(slot: str, arch_ok: bool = True):
+    """Lazy loader for a committed synthetic-certified checkpoint slot
+    (`slot`: "pose" -> top-down HRNet-W32, "det" -> EfficientDet-Lite4,
+    "higherhrnet" -> bottom-up), or None when the file is absent or the
+    entry's architecture doesn't match what was certified. Registry
+    entries fall back to these when they would otherwise random-init: the
+    reference never serves untrained weights (README.md:13-26 makes the
+    checkpoint download mandatory), so neither does this named-model
+    repository. Only the cheap existence check runs at registry build;
+    the npz read happens at lazy model-load time.
+
+    `HBPE_DISABLE_CERTIFIED_FALLBACK=1` turns this off (tests/conftest.py
+    sets it: tiny-config CPU suites must random-init, not pull the full
+    production checkpoints)."""
+    import os as _os
+
+    if not arch_ok or _os.environ.get("HBPE_DISABLE_CERTIFIED_FALLBACK"):
+        return None
+
+    from human_body_proportion_estimation_tpu.models import weights as W
+
+    path = (W.default_certified_bottomup_checkpoint()
+            if slot == "higherhrnet" else W.default_certified_checkpoint())
+    if not _os.path.exists(path):
+        return None
+
+    def load():
+        det_t, pose_t = W.load_compact_checkpoint(path)
+        return _device_put_default(det_t if slot == "det" else pose_t)
+
+    return load
+
+
 def _resize_u8(img: np.ndarray, width: int, height: int) -> np.ndarray:
     if img.shape[0] == height and img.shape[1] == width:
         return img
@@ -532,6 +565,11 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
     ch, cw = cfg.pose.crop_height, cfg.pose.crop_width
     k = cfg.pose.num_keypoints
     max_batch = cfg.serve.max_batch
+    fallback = None
+    if pose_vars is None:
+        fallback = _certified_fallback("pose", cfg.pose.name == "hrnet_w32")
+        if fallback is not None:
+            weights = "synthetic-certified"
 
     def build():
         import jax
@@ -545,7 +583,7 @@ def _hrnet_entry(cfg, pose=None, pose_vars=None,
         variables = pose_vars
         if model is None:
             model = create_hrnet(cfg.pose.name)
-            variables = _init_on_cpu(
+            variables = fallback() if fallback is not None else _init_on_cpu(
                 lambda rng: model.init(
                     rng, jnp.zeros((1, ch, cw, 3), jnp.float32)
                 )
@@ -596,6 +634,13 @@ def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
     shared (BottomUpPipeline.model is the bare module)."""
     k = cfg.pose.num_keypoints
     max_batch = cfg.serve.max_batch
+    fallback = None
+    if pose_vars is None:
+        # the certified bottom-up checkpoint is the default HigherHRNet
+        # config — exactly what the model-is-None branch below builds
+        fallback = _certified_fallback("higherhrnet")
+        if fallback is not None:
+            weights = "synthetic-certified"
 
     def build():
         import jax
@@ -609,7 +654,7 @@ def _higherhrnet_entry(cfg, pose=None, pose_vars=None,
         variables = pose_vars
         if model is None:
             model = HigherHRNet()
-            variables = _init_on_cpu(
+            variables = fallback() if fallback is not None else _init_on_cpu(
                 lambda rng: model.init(
                     rng, jnp.zeros((1, 128, 128, 3), jnp.float32)
                 )
@@ -825,8 +870,15 @@ def _build_edet_core(cfg, det_config, detector=None, det_vars=None):
     model = detector
     variables = det_vars
     if model is None:
+        from human_body_proportion_estimation_tpu.models.efficientdet import (
+            EFFICIENTDET_LITE4,
+        )
+
+        fallback = _certified_fallback(
+            "det", det_config == EFFICIENTDET_LITE4
+        )
         model = EfficientDet(config=det_config)
-        variables = _init_on_cpu(
+        variables = fallback() if fallback is not None else _init_on_cpu(
             lambda rng: model.init(
                 rng, jnp.zeros((1, h, w, 3), jnp.float32)
             )
@@ -882,6 +934,24 @@ def _edet_entries(cfg, det_config, detector=None, det_vars=None,
     p = cfg.detector.max_persons
     state: Dict[str, Any] = {}
     lock = threading.Lock()
+
+    # metadata mirrors the lazy certified-checkpoint fallbacks the build
+    # paths below take (_build_edet_core / build_ensemble)
+    from human_body_proportion_estimation_tpu.models.efficientdet import (
+        EFFICIENTDET_LITE4,
+    )
+
+    if det_vars is None and det_weights == "random" and _certified_fallback(
+        "det", det_config == EFFICIENTDET_LITE4
+    ) is not None:
+        det_weights = "synthetic-certified"
+    pose_fallback = None
+    if pose_vars is None and pose_weights == "random":
+        pose_fallback = _certified_fallback(
+            "pose", cfg.pose.name == "hrnet_w32"
+        )
+        if pose_fallback is not None:
+            pose_weights = "synthetic-certified"
 
     def core():
         with lock:
@@ -965,9 +1035,12 @@ def _edet_entries(cfg, det_config, detector=None, det_vars=None,
         pvars = pose_vars
         if pmodel is None:
             pmodel = create_hrnet(cfg.pose.name)
-            pvars = _init_on_cpu(
-                lambda rng: pmodel.init(
-                    rng, jnp.zeros((1, ch, cw, 3), jnp.float32)
+            pvars = (
+                pose_fallback() if pose_fallback is not None
+                else _init_on_cpu(
+                    lambda rng: pmodel.init(
+                        rng, jnp.zeros((1, ch, cw, 3), jnp.float32)
+                    )
                 )
             )
 

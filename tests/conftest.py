@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 # keep TF (used only as a parity oracle) off any accelerator and quiet
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+# tiny-config CPU suites must random-init, never lazily pull the full
+# committed production checkpoints (serve/registry._certified_fallback)
+os.environ.setdefault("HBPE_DISABLE_CERTIFIED_FALLBACK", "1")
 
 import jax  # noqa: E402
 

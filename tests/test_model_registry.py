@@ -202,6 +202,44 @@ def test_modified_with_detections(pipeline_and_registry):
     )
 
 
+def test_certified_fallback_upgrades_unshared_slots(monkeypatch, tmp_path):
+    """Slots that would random-init fall back to the committed synthetic-
+    certified checkpoints when present (metadata flips, load stays lazy);
+    conftest disables this for every other test via
+    HBPE_DISABLE_CERTIFIED_FALLBACK."""
+    from human_body_proportion_estimation_tpu.models import weights as W
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        build_registry,
+    )
+
+    monkeypatch.delenv("HBPE_DISABLE_CERTIFIED_FALLBACK", raising=False)
+    ck = str(tmp_path / "certified.npz")
+    np.savez_compressed(ck, **{"det/x": np.zeros(1, np.float16),
+                               "pose/x": np.zeros(1, np.float16)})
+    monkeypatch.setattr(W, "default_certified_checkpoint", lambda: ck)
+    monkeypatch.setattr(
+        W, "default_certified_bottomup_checkpoint", lambda: ck)
+
+    reg = build_registry(config=tiny_config())   # nothing shared
+    idx = {r["name"]: r for r in reg.index()}
+    for name in ("hrnet", "higherhrnet", "edetlite4", "edetlite4_modified",
+                 "ensemble_edet4_person_det_pose"):
+        assert idx[name]["weights"] == "synthetic-certified", name
+        assert not idx[name]["loaded"]           # npz untouched until load
+    assert idx["yolov5m"]["weights"] == "random"  # no yolo checkpoint yet
+    assert idx["ssd_mobilenet"]["weights"] == "real"
+
+    # with the files absent (the default-path case pre-certification)
+    monkeypatch.setattr(W, "default_certified_checkpoint",
+                        lambda: str(tmp_path / "missing.npz"))
+    monkeypatch.setattr(W, "default_certified_bottomup_checkpoint",
+                        lambda: str(tmp_path / "missing.npz"))
+    reg2 = build_registry(config=tiny_config())
+    idx2 = {r["name"]: r for r in reg2.index()}
+    assert idx2["hrnet"]["weights"] == "random"
+    assert idx2["higherhrnet"]["weights"] == "random"
+
+
 def test_ssd_mobilenet_real_weight_slot(pipeline_and_registry):
     """`ssd_mobilenet`: the repository's always-real-weights model (the
     reference's checked-in ssd.tflite) with the TFLite_Detection_
