@@ -129,6 +129,35 @@ def default_certified_checkpoint() -> str:
     )
 
 
+def default_certified_bottomup_checkpoint() -> str:
+    """Path of the committed synthetic-certified bottom-up checkpoint
+    (HigherHRNet @ 512x512, trained by `cli/certify_bottomup.py` on-chip
+    on multi-person renders; pose slot only — the bottom-up pipeline has
+    no detector). Loaded by default by `serve.server --bottom-up`."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "checkpoints", "certified_higherhrnet.npz",
+    )
+
+
+def maybe_load_certified(bottom_up: bool = False) -> Tuple[Any, Any]:
+    """(det_vars, pose_vars) from the committed synthetic-certified
+    checkpoint, or (None, None) when the file is absent or
+    HBPE_DISABLE_CERTIFIED_FALLBACK is set (tests/conftest.py sets it:
+    tiny-config suites must random-init). Edges (server, bench, CLIs)
+    call this when the user gave no --checkpoint-dir — the reference
+    never runs untrained weights (README.md:13-26 makes the checkpoint
+    download mandatory), so neither do the defaults here. Callers should
+    mark the slots they use `synthetic-certified` in weights_origin."""
+    if os.environ.get("HBPE_DISABLE_CERTIFIED_FALLBACK"):
+        return None, None
+    path = (default_certified_bottomup_checkpoint() if bottom_up
+            else default_certified_checkpoint())
+    if not os.path.exists(path):
+        return None, None
+    return load_compact_checkpoint(path)
+
+
 # --------------------------------------------------------------------- #
 # torch pose_hrnet <-> flax name mapping
 #

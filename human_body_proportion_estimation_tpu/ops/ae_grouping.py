@@ -102,8 +102,18 @@ def group_keypoints(
     max_people: int,
     score_threshold: float = 0.1,
     tag_threshold: float = 1.0,
+    person_score_threshold: float = 0.0,
 ) -> Grouping:
-    """Greedy AE grouping over joint types (fixed shapes, jittable)."""
+    """Greedy AE grouping over joint types (fixed shapes, jittable).
+
+    `person_score_threshold`: groups whose mean joint score (over the
+    joints actually assigned) is <= this are marked invalid — the
+    person-level filter standard HigherHRNet post-processing applies
+    after grouping. Without it, ANY stray peak above `score_threshold`
+    that matches no existing tag cluster opens a phantom person; a real
+    person's mean score sits near the trained peak amplitude (~1)
+    while phantom groups built from heatmap noise sit near
+    `score_threshold`. Default 0.0 keeps the raw grouping behavior."""
     k, m = tag_values.shape
     p = max_people
 
@@ -150,8 +160,11 @@ def group_keypoints(
         tag_sum = tag_sum + match @ t
         tag_cnt = tag_cnt + match.sum(axis=1)
 
+    mean_score = kp_scores.sum(axis=-1) / jnp.maximum(tag_cnt, 1.0)
     return Grouping(
-        keypoints=kp, scores=kp_scores, valid=tag_cnt > 0
+        keypoints=kp,
+        scores=kp_scores,
+        valid=(tag_cnt > 0) & (mean_score > person_score_threshold),
     )
 
 
@@ -162,10 +175,12 @@ def decode_bottom_up(
     max_cands: int = 8,
     score_threshold: float = 0.1,
     tag_threshold: float = 1.0,
+    person_score_threshold: float = 0.0,
 ) -> Grouping:
     """heatmaps + tags -> grouped multi-person keypoints (one image)."""
     peaks = find_peaks(heatmaps, max_cands)
     tag_values = gather_tags(tags, peaks.coords)
     return group_keypoints(
-        peaks, tag_values, max_people, score_threshold, tag_threshold
+        peaks, tag_values, max_people, score_threshold, tag_threshold,
+        person_score_threshold,
     )

@@ -94,20 +94,28 @@ class BottomUpPipeline:
         max_cands: int = 8,
         tag_threshold: float = 1.0,
         score_threshold: float = 0.1,
+        person_score_threshold: float = 0.25,
         rng_seed: int = 0,
         mesh=None,
         dtype=None,
+        model=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — serving
         batches are then sharded over it with replicated params, the same
         dp scaling as InferencePipeline(mesh=...). `dtype`: compute dtype
-        override (default bf16; f32 for numerics-sensitive comparisons)."""
+        override (default bf16; f32 for numerics-sensitive comparisons).
+        `model`: HigherHRNet instance override (reduced-shape certification
+        smoke uses a tiny config; see cli/certify_bottomup.py)."""
         self.config = config or PipelineConfig()
         self.max_people = max_people or self.config.detector.max_persons
         self.max_cands = max_cands
         self.tag_threshold = tag_threshold
         self.score_threshold = score_threshold
-        self.model = (
+        # person-level mean-score gate (ops/ae_grouping.group_keypoints):
+        # kills phantom groups opened by stray sub-peaks; trained peak
+        # amplitudes sit near 1.0, noise groups near score_threshold
+        self.person_score_threshold = person_score_threshold
+        self.model = model if model is not None else (
             HigherHRNet() if dtype is None else HigherHRNet(dtype=dtype)
         )
         pose_vars_given = pose_vars is not None
@@ -177,6 +185,7 @@ class BottomUpPipeline:
             max_cands=self.max_cands,
             score_threshold=self.score_threshold,
             tag_threshold=self.tag_threshold,
+            person_score_threshold=self.person_score_threshold,
         )
         # ae ops take [K, H, W]
         grouped = jax.vmap(decode)(

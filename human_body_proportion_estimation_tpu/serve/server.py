@@ -716,15 +716,30 @@ def main(argv=None):
             BottomUpPipeline,
         )
 
-        pose_vars = None
-        if args.checkpoint_dir:
-            from human_body_proportion_estimation_tpu.models import weights
+        from human_body_proportion_estimation_tpu.models import weights
 
+        pose_vars = None
+        bu_synthetic = False
+        if args.checkpoint_dir:
             # checkpoint layout shared with the top-down pipeline; the
             # detector slot is absent/ignored in bottom-up mode
             _, pose_vars = weights.load_pipeline_checkpoint(
                 args.checkpoint_dir
             )
+        else:
+            # no checkpoint given: fall back to the committed synthetic-
+            # certified HigherHRNet weights (cli/certify_bottomup.py;
+            # accuracy table in BENCHMARKS.md), same no-random-serving
+            # policy as the top-down default below
+            _, pose_vars = weights.maybe_load_certified(bottom_up=True)
+            if pose_vars is not None:
+                bu_synthetic = True
+                print(
+                    "serving committed synthetic-certified bottom-up "
+                    "weights "
+                    f"({weights.default_certified_bottomup_checkpoint()})",
+                    flush=True,
+                )
         mesh = None
         if args.data_parallel > 1:
             from human_body_proportion_estimation_tpu.parallel.mesh import (
@@ -733,6 +748,8 @@ def main(argv=None):
 
             mesh = make_mesh(args.data_parallel)
         pipeline = BottomUpPipeline(pose_vars=pose_vars, mesh=mesh)
+        if bu_synthetic:
+            pipeline.weights_origin["pose"] = "synthetic-certified"
         if pipeline.weights_origin["pose"] == "random":
             print(
                 "WARNING: serving RANDOM-INIT HigherHRNet — outputs are "

@@ -100,8 +100,16 @@ def bottomup_train_step(
     keypoints: jax.Array,   # [B, P, K, 2] (x, y) in IMAGE coords
     visible: jax.Array,     # [B, P, K] bool
     ae_weight: float = 1e-3,
+    fg_weight: float = 0.0,
 ) -> tuple[PoseTrainState, jax.Array]:
-    """One jointly-supervised optimizer step (both heads + AE)."""
+    """One jointly-supervised optimizer step (both heads + AE).
+
+    `fg_weight`: peak-pixel MSE up-weight `1 + fg_weight * target` — the
+    same amplitude fix the top-down trainer uses (training/trainer.py):
+    plain MSE over the ~99% background pixels converges with peak heights
+    well under the serving gates (`PoseConfig.keypoint_thresholds`, up to
+    0.46, and the AE decode's `score_threshold`), so correct keypoints get
+    dropped as "Part not visible"."""
     k = keypoints.shape[2]
 
     def loss_fn(params):
@@ -115,7 +123,10 @@ def bottomup_train_step(
             tgt = multi_person_heatmap_targets(
                 keypoints * scale, visible, hm.shape[1], hm.shape[2]
             )
-            loss = loss + jnp.mean((hm.astype(jnp.float32) - tgt) ** 2)
+            w = 1.0 + fg_weight * tgt
+            loss = loss + jnp.mean(
+                w * (hm.astype(jnp.float32) - tgt) ** 2
+            )
         loss = loss + ae_weight * ae_loss(
             out1[..., k:].astype(jnp.float32), keypoints * 0.25, visible
         )

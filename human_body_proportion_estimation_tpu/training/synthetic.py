@@ -89,6 +89,21 @@ class SyntheticScene:
     height_cm: float
 
 
+@dataclasses.dataclass
+class MultiPersonScene:
+    """A scene with P (1..max) non-overlapping frontal figures — the
+    bottom-up (HigherHRNet + AE grouping) training/certification analog of
+    `SyntheticScene`. Figures occupy disjoint horizontal bands, so every
+    keypoint is visible and the per-person tight boxes never intersect
+    (grouping truth is unambiguous)."""
+
+    image: np.ndarray        # [H, W, 3] uint8 RGB
+    keypoints: np.ndarray    # [P, 17, 2] float32 (x, y) image px
+    visible: np.ndarray      # [P, 17] bool
+    bboxes_xyxy: np.ndarray  # [P, 4] float32 tight boxes, image px
+    heights_cm: np.ndarray   # [P] float32
+
+
 def _skeleton_cm(
     height_cm: float, rng: np.random.Generator, fixed_pose: bool
 ) -> Tuple[np.ndarray, dict]:
@@ -203,76 +218,31 @@ def _extents_cm(capsules, ellipses, polygons) -> np.ndarray:
     return np.array([min(xs), min(ys), max(xs), max(ys)], np.float64)
 
 
-def generate_scene(
-    rng: np.random.Generator,
-    img_hw: Tuple[int, int] = (480, 640),
-    height_cm: float | None = None,
-    fixed_pose: bool = False,
-    keypoint_markers: bool = False,
-) -> SyntheticScene:
-    """Render one scene; all label quantities are analytic (no pixel scan).
-
-    `fixed_pose=True` freezes the joint angles AND the placement at their
-    midpoints (only appearance varies) — the easy task the fast CPU
-    certification test trains in-test; the chip run uses varied poses.
-    `keypoint_markers=True` additionally stamps a unique-colored disc on
-    each keypoint (see _MARKER_COLORS).
-    """
+def _draw_figure(
+    canvas: np.ndarray,
+    colors: dict,
+    kp_cm: np.ndarray,
+    capsules,
+    ellipses,
+    polygons,
+    s: float,
+    cx: float,
+    feet_py: float,
+    H: float,
+    keypoint_markers: bool,
+) -> np.ndarray:
+    """Rasterize one figure (primitives in body-cm coords) onto `canvas`
+    at scale `s` px/cm, horizontally centered at `cx`, feet line at
+    `feet_py`. Pure drawing — consumes no RNG (colors are passed in), so
+    single- and multi-person generators share it without perturbing each
+    other's seeded streams. Returns the keypoints in image px [17, 2]."""
     import cv2
-
-    img_h, img_w = img_hw
-    H = float(height_cm if height_cm is not None
-              else rng.uniform(150.0, 200.0))
-    kp_cm, _ = _skeleton_cm(H, rng, fixed_pose)
-    capsules, ellipses, polygons = _scene_primitives(kp_cm, H)
-    ext = _extents_cm(capsules, ellipses, polygons)  # figure extents, cm
-
-    # placement: figure height fills a fraction of the image; keep the
-    # whole drawn extent >= 2 px inside the frame
-    frac = 0.75 if fixed_pose else float(rng.uniform(0.60, 0.92))
-    s = frac * img_h / H                       # px per cm
-    half_w_px = max(-ext[0], ext[2]) * s
-    cx_lo, cx_hi = half_w_px + 3.0, img_w - half_w_px - 3.0
-    cx = 0.5 * img_w if fixed_pose else float(rng.uniform(cx_lo, cx_hi))
-    feet_margin = 0.04 if fixed_pose else float(rng.uniform(0.015, 0.07))
-    feet_py = img_h - 3.0 - feet_margin * img_h * 0.5
-    feet_py = min(feet_py, img_h - 3.0)
-    top_py = feet_py - H * s
-    if top_py < 3.0:                           # keep head in frame
-        s = (feet_py - 3.0) / H
-
-    def to_px(p_cm):
-        return np.array([cx + p_cm[0] * s, feet_py - p_cm[1] * s])
-
-    # ---------------- background ----------------
-    c0 = rng.integers(30, 226, 3).astype(np.float32)
-    c1 = rng.integers(30, 226, 3).astype(np.float32)
-    t = np.linspace(0.0, 1.0, img_h, dtype=np.float32)[:, None, None]
-    img = (c0 * (1 - t) + c1 * t) * np.ones((1, img_w, 1), np.float32)
-    canvas = img.astype(np.uint8).copy()
-    for _ in range(int(rng.integers(0, 5))):
-        col = tuple(int(v) for v in rng.integers(0, 256, 3))
-        x0, y0 = int(rng.integers(0, img_w)), int(rng.integers(0, img_h))
-        x1 = int(rng.integers(0, img_w))
-        y1 = int(rng.integers(0, img_h))
-        if rng.random() < 0.5:
-            cv2.rectangle(canvas, (min(x0, x1), min(y0, y1)),
-                          (max(x0, x1), max(y0, y1)), col, -1)
-        else:
-            cv2.ellipse(canvas, (x0, y0),
-                        (int(rng.integers(8, img_w // 3)),
-                         int(rng.integers(8, img_h // 3))),
-                        0, 0, 360, col, -1)
-
-    # ---------------- figure ----------------
-    skin = _SKIN_TONES[int(rng.integers(0, len(_SKIN_TONES)))]
-    shirt = tuple(int(v) for v in rng.integers(20, 236, 3))
-    pants = tuple(int(v) for v in rng.integers(20, 236, 3))
-    shoe = tuple(int(v) for v in rng.integers(10, 90, 3))
-    colors = {"skin": skin, "shirt": shirt, "pants": pants, "shoe": shoe}
 
     SHIFT = 4
     SC = 1 << SHIFT
+
+    def to_px(p_cm):
+        return np.array([cx + p_cm[0] * s, feet_py - p_cm[1] * s])
 
     def ipt(p_px):
         return (int(round(p_px[0] * SC)), int(round(p_px[1] * SC)))
@@ -309,12 +279,94 @@ def generate_scene(
             cv2.circle(canvas, ipt(to_px(kp_cm[k])),
                        int(round(r_px * SC)), _MARKER_COLORS[k], -1,
                        cv2.LINE_AA, shift=SHIFT)
+    return np.stack([to_px(p) for p in kp_cm]).astype(np.float32)
+
+
+def _draw_background(
+    canvas_hw: Tuple[int, int], rng: np.random.Generator
+) -> np.ndarray:
+    """Gradient + random clutter background (the exact drawing sequence
+    generate_scene uses, factored for the multi-person generator)."""
+    import cv2
+
+    img_h, img_w = canvas_hw
+    c0 = rng.integers(30, 226, 3).astype(np.float32)
+    c1 = rng.integers(30, 226, 3).astype(np.float32)
+    t = np.linspace(0.0, 1.0, img_h, dtype=np.float32)[:, None, None]
+    img = (c0 * (1 - t) + c1 * t) * np.ones((1, img_w, 1), np.float32)
+    canvas = img.astype(np.uint8).copy()
+    for _ in range(int(rng.integers(0, 5))):
+        col = tuple(int(v) for v in rng.integers(0, 256, 3))
+        x0, y0 = int(rng.integers(0, img_w)), int(rng.integers(0, img_h))
+        x1 = int(rng.integers(0, img_w))
+        y1 = int(rng.integers(0, img_h))
+        if rng.random() < 0.5:
+            cv2.rectangle(canvas, (min(x0, x1), min(y0, y1)),
+                          (max(x0, x1), max(y0, y1)), col, -1)
+        else:
+            cv2.ellipse(canvas, (x0, y0),
+                        (int(rng.integers(8, img_w // 3)),
+                         int(rng.integers(8, img_h // 3))),
+                        0, 0, 360, col, -1)
+    return canvas
+
+
+def _figure_colors(rng: np.random.Generator) -> dict:
+    skin = _SKIN_TONES[int(rng.integers(0, len(_SKIN_TONES)))]
+    shirt = tuple(int(v) for v in rng.integers(20, 236, 3))
+    pants = tuple(int(v) for v in rng.integers(20, 236, 3))
+    shoe = tuple(int(v) for v in rng.integers(10, 90, 3))
+    return {"skin": skin, "shirt": shirt, "pants": pants, "shoe": shoe}
+
+
+def generate_scene(
+    rng: np.random.Generator,
+    img_hw: Tuple[int, int] = (480, 640),
+    height_cm: float | None = None,
+    fixed_pose: bool = False,
+    keypoint_markers: bool = False,
+) -> SyntheticScene:
+    """Render one scene; all label quantities are analytic (no pixel scan).
+
+    `fixed_pose=True` freezes the joint angles AND the placement at their
+    midpoints (only appearance varies) — the easy task the fast CPU
+    certification test trains in-test; the chip run uses varied poses.
+    `keypoint_markers=True` additionally stamps a unique-colored disc on
+    each keypoint (see _MARKER_COLORS).
+    """
+    img_h, img_w = img_hw
+    H = float(height_cm if height_cm is not None
+              else rng.uniform(150.0, 200.0))
+    kp_cm, _ = _skeleton_cm(H, rng, fixed_pose)
+    capsules, ellipses, polygons = _scene_primitives(kp_cm, H)
+    ext = _extents_cm(capsules, ellipses, polygons)  # figure extents, cm
+
+    # placement: figure height fills a fraction of the image; keep the
+    # whole drawn extent >= 2 px inside the frame
+    frac = 0.75 if fixed_pose else float(rng.uniform(0.60, 0.92))
+    s = frac * img_h / H                       # px per cm
+    half_w_px = max(-ext[0], ext[2]) * s
+    cx_lo, cx_hi = half_w_px + 3.0, img_w - half_w_px - 3.0
+    cx = 0.5 * img_w if fixed_pose else float(rng.uniform(cx_lo, cx_hi))
+    feet_margin = 0.04 if fixed_pose else float(rng.uniform(0.015, 0.07))
+    feet_py = img_h - 3.0 - feet_margin * img_h * 0.5
+    feet_py = min(feet_py, img_h - 3.0)
+    top_py = feet_py - H * s
+    if top_py < 3.0:                           # keep head in frame
+        s = (feet_py - 3.0) / H
+
+    def to_px(p_cm):
+        return np.array([cx + p_cm[0] * s, feet_py - p_cm[1] * s])
+
+    canvas = _draw_background(img_hw, rng)
+    colors = _figure_colors(rng)
+    kp_px = _draw_figure(canvas, colors, kp_cm, capsules, ellipses,
+                         polygons, s, cx, feet_py, H, keypoint_markers)
 
     noise = rng.normal(0.0, 5.0, canvas.shape)
     canvas = np.clip(canvas.astype(np.float32) + noise, 0, 255) \
         .astype(np.uint8)
 
-    kp_px = np.stack([to_px(p) for p in kp_cm]).astype(np.float32)
     x1, y1 = to_px((ext[0], ext[3]))  # cm y-up -> px y-down flips the box
     x2, y2 = to_px((ext[2], ext[1]))
     bbox = np.array([x1, y1, x2, y2], np.float32)
@@ -324,6 +376,79 @@ def generate_scene(
         visible=np.ones(17, bool),
         bbox_xyxy=bbox,
         height_cm=H,
+    )
+
+
+def generate_multi_scene(
+    rng: np.random.Generator,
+    img_hw: Tuple[int, int] = (512, 512),
+    n_people: int | None = None,
+    max_people: int = 3,
+    height_cm: float | None = None,
+    fixed_pose: bool = False,
+    keypoint_markers: bool = False,
+) -> MultiPersonScene:
+    """Render a scene with 1..max_people figures in disjoint horizontal
+    bands (all keypoints visible, person boxes never overlap — the AE
+    grouping truth is unambiguous). All label quantities are analytic.
+
+    Figures share one declared height when `height_cm` is given (the HTTP
+    edge declares ONE height per request, reference
+    `uvicorn_server/server.py` form contract); otherwise each figure draws
+    its own height — the bottom-up serving path applies the request height
+    to every person slot, so certification declares per-scene heights.
+    """
+    img_h, img_w = img_hw
+    p = int(n_people if n_people is not None
+            else rng.integers(1, max_people + 1))
+    canvas = _draw_background(img_hw, rng)
+
+    kps, boxes, heights = [], [], []
+    band_w = img_w / p
+    for i in range(p):
+        H = float(height_cm if height_cm is not None
+                  else rng.uniform(150.0, 200.0))
+        kp_cm, _ = _skeleton_cm(H, rng, fixed_pose)
+        capsules, ellipses, polygons = _scene_primitives(
+            kp_cm, H
+        )
+        ext = _extents_cm(capsules, ellipses, polygons)
+
+        # figure must fit its band (3 px margins) AND the frame height
+        frac = 0.72 if fixed_pose else float(rng.uniform(0.45, 0.85))
+        s = frac * img_h / H
+        half_w_cm = max(-ext[0], ext[2])
+        s = min(s, (band_w / 2.0 - 4.0) / max(half_w_cm, 1e-6))
+        band_lo = i * band_w + half_w_cm * s + 3.0
+        band_hi = (i + 1) * band_w - half_w_cm * s - 3.0
+        cx = (0.5 * (band_lo + band_hi) if fixed_pose or band_hi <= band_lo
+              else float(rng.uniform(band_lo, band_hi)))
+        feet_margin = 0.04 if fixed_pose else float(rng.uniform(0.015, 0.07))
+        feet_py = img_h - 3.0 - feet_margin * img_h * 0.5
+        feet_py = min(feet_py, img_h - 3.0)
+        if feet_py - H * s < 3.0:              # keep head in frame
+            s = (feet_py - 3.0) / H
+
+        colors = _figure_colors(rng)
+        kp_px = _draw_figure(canvas, colors, kp_cm, capsules, ellipses,
+                             polygons, s, cx, feet_py, H, keypoint_markers)
+        x1 = cx + ext[0] * s
+        x2 = cx + ext[2] * s
+        y1 = feet_py - ext[3] * s
+        y2 = feet_py - ext[1] * s
+        kps.append(kp_px)
+        boxes.append(np.array([x1, y1, x2, y2], np.float32))
+        heights.append(H)
+
+    noise = rng.normal(0.0, 5.0, canvas.shape)
+    canvas = np.clip(canvas.astype(np.float32) + noise, 0, 255) \
+        .astype(np.uint8)
+    return MultiPersonScene(
+        image=canvas,
+        keypoints=np.stack(kps),
+        visible=np.ones((p, 17), bool),
+        bboxes_xyxy=np.stack(boxes),
+        heights_cm=np.asarray(heights, np.float32),
     )
 
 

@@ -114,6 +114,35 @@ def test_bottom_up_recovers_synthetic_people():
     assert recovered == expected
 
 
+def test_person_score_threshold_kills_phantom_groups():
+    """A stray low-amplitude peak that matches no tag cluster opens a
+    group; the person-level mean-score gate must mark it invalid while
+    keeping the real (high-amplitude) person."""
+    k, h, w = 4, 64, 48
+    heat = np.zeros((k, h, w), np.float32)
+    tags = np.zeros((k, h, w), np.float32)
+    joints = [(10, 12), (14, 20), (9, 30), (15, 40)]
+    for j, (cx, cy) in enumerate(joints):
+        heat[j] = _gaussian(h, w, cx, cy)
+        tags[j, cy, cx] = -2.0
+    # phantom: one weak bump on joint 0 with a far-away tag value
+    heat[0] = np.maximum(heat[0], 0.2 * _gaussian(h, w, 40, 50))
+    tags[0, 50, 40] = 3.0
+
+    kw = dict(max_people=3, max_cands=4, score_threshold=0.1,
+              tag_threshold=1.0)
+    raw = ae.decode_bottom_up(jnp.asarray(heat), jnp.asarray(tags), **kw)
+    assert np.asarray(raw.valid).sum() == 2      # phantom group opened
+    gated = ae.decode_bottom_up(
+        jnp.asarray(heat), jnp.asarray(tags),
+        person_score_threshold=0.5, **kw,
+    )
+    valid = np.asarray(gated.valid)
+    assert valid.sum() == 1
+    kps = np.asarray(gated.keypoints)[np.nonzero(valid)[0][0]]
+    assert tuple(map(tuple, kps.astype(int))) == tuple(joints)
+
+
 def test_find_peaks_nms():
     hm = np.zeros((1, 16, 16), np.float32)
     hm[0, 5, 5] = 1.0
