@@ -216,3 +216,28 @@ class HttpClient:
         if version:
             path += f"/versions/{version}"
         return self._request("GET", path + "/config")
+
+    def server_metadata(self) -> Dict[str, Any]:
+        """KServe-v2 server metadata (tritonclient get_server_metadata
+        analog): name, version, protocol extensions."""
+        return self._request("GET", "/v2")
+
+    def model_ready(self, name: str, version: str = "") -> bool:
+        """Per-model readiness (tritonclient is_model_ready analog);
+        False for an unknown model/version."""
+        path = f"/v2/models/{name}"
+        if version:
+            path += f"/versions/{version}"
+        return self._request("GET", path + "/ready").get("ready", False)
+
+    def model_stats(self, name: str = "",
+                    version: str = "") -> Dict[str, Any]:
+        """Per-model inference statistics (Triton
+        get_inference_statistics / GET /v2/models/<name>/stats analog);
+        empty name returns every model's statistics."""
+        if not name:
+            return self._request("GET", "/v2/models/stats")
+        path = f"/v2/models/{name}"
+        if version:
+            path += f"/versions/{version}"
+        return self._request("GET", path + "/stats")

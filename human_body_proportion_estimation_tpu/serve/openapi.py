@@ -238,6 +238,38 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                     "404": {"description": "unknown model"},
                 },
             }},
+            "/v2/models/{name}/ready": {"get": {
+                "summary": "Per-model readiness (tritonclient "
+                           "is_model_ready analog)",
+                "parameters": [{
+                    "name": "name", "in": "path", "required": True,
+                    "schema": {"type": "string"},
+                }],
+                "responses": {
+                    **_json_response({"type": "object"}, "ready"),
+                    "404": {"description": "unknown model"},
+                },
+            }},
+            "/v2/models/{name}/stats": {"get": {
+                "summary": "Per-model inference statistics (Triton "
+                           "get_inference_statistics analog: request/"
+                           "launch counts, queue + compute ns, "
+                           "batch-size histogram); /v2/models/stats "
+                           "returns every model",
+                "parameters": [{
+                    "name": "name", "in": "path", "required": True,
+                    "schema": {"type": "string"},
+                }],
+                "responses": {
+                    **_json_response({"type": "object"}, "stats"),
+                    "404": {"description": "unknown model"},
+                },
+            }},
+            "/v2": {"get": {
+                "summary": "KServe-v2 server metadata (name, version, "
+                           "protocol extensions)",
+                "responses": _json_response({"type": "object"}, "meta"),
+            }},
             "/v2/health/live": {"get": {
                 "summary": "KServe-v2 liveness",
                 "responses": _json_response({"type": "object"}, "live"),

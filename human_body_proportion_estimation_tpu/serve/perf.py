@@ -274,14 +274,33 @@ def run_model_sweep(
     inputs = _random_model_inputs(meta, batch_size)
     for _ in range(warmup_requests):  # lazy load + bucket compiles
         client.infer(model, inputs, timeout=1800)
-    client.close()
+
+    def _counts():
+        try:
+            (row,) = client.model_statistics(model)["model_stats"]
+            return row["inference_count"], row["execution_count"]
+        except Exception:  # noqa: BLE001 — older server without the RPC
+            return None, None
 
     lo, hi, step = (int(x) for x in concurrency_spec.split(":"))
     results = []
+    inf0, exe0 = _counts()
     for c in range(lo, hi + 1, step):
         r = run_model_level(target, model, c, seconds, inputs)
+        # server-side counters per pass (perf_analyzer reports these from
+        # get_inference_statistics): the inference/execution ratio is the
+        # dynamic-batching coalescing factor actually achieved
+        inf1, exe1 = _counts()
+        if inf0 is not None and inf1 is not None:
+            d_inf, d_exe = inf1 - inf0, exe1 - exe0
+            r["server_inference_count"] = d_inf
+            r["server_execution_count"] = d_exe
+            if d_exe > 0:
+                r["batching_ratio"] = round(d_inf / d_exe, 2)
+            inf0, exe0 = inf1, exe1
         results.append(r)
         print(json.dumps(r), flush=True)
+    client.close()
     return results
 
 

@@ -52,6 +52,7 @@ TPU-native design notes (deliberate divergences, not omissions):
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -128,6 +129,56 @@ class ModelEntry:
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
     batches_run: int = 0        # observability: device launches so far
 
+    # -- per-model inference statistics (Triton get_inference_statistics
+    # analog; tritonclient get_inference_statistics / GET
+    # /v2/models/<name>/stats). Cumulative since process start, guarded
+    # by _stats_lock (requests arrive on edge threads, launches run on
+    # the batcher thread). --
+    _stats_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False
+    )
+    inference_count: int = 0    # rows successfully inferred (Triton counts
+    #                             each inference in a batched request)
+    success_count: int = 0      # successful requests
+    success_ns: int = 0         # cumulative request wall time (success)
+    fail_count: int = 0
+    fail_ns: int = 0
+    compute_input_ns: int = 0   # host-side batch assembly (concat)
+    compute_infer_ns: int = 0   # device launch wall
+    compute_output_ns: int = 0  # host-side result split
+    # launch wall attributed once per coalesced request: every request in
+    # a shared launch waited for the full launch, so request wall minus
+    # this is (approximately) time spent queued in the deadline batcher
+    compute_request_ns: int = 0
+    last_inference_ms: int = 0  # epoch ms of the most recent request
+    # rows-per-launch -> [launch count, compute_infer ns] (batch_stats)
+    batch_stats: Dict[int, List[int]] = field(default_factory=dict)
+
+    def _record_launch(self, rows: int, n_requests: int, input_ns: int,
+                       infer_ns: int, output_ns: int) -> None:
+        with self._stats_lock:
+            self.batches_run += 1
+            self.compute_input_ns += input_ns
+            self.compute_infer_ns += infer_ns
+            self.compute_output_ns += output_ns
+            self.compute_request_ns += (
+                (input_ns + infer_ns + output_ns) * n_requests
+            )
+            cell = self.batch_stats.setdefault(rows, [0, 0])
+            cell[0] += 1
+            cell[1] += infer_ns
+
+    def record_request(self, ok: bool, wall_ns: int, rows: int) -> None:
+        with self._stats_lock:
+            self.last_inference_ms = int(time.time() * 1000)
+            if ok:
+                self.success_count += 1
+                self.success_ns += wall_ns
+                self.inference_count += rows
+            else:
+                self.fail_count += 1
+                self.fail_ns += wall_ns
+
     @property
     def loaded(self) -> bool:
         return self._runner is not None
@@ -153,21 +204,32 @@ class ModelEntry:
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(payloads)
 
         def launch(idxs: List[int]) -> None:
-            self.batches_run += 1
             if len(idxs) == 1:
+                t0 = time.monotonic_ns()
                 results[idxs[0]] = run(payloads[idxs[0]])
+                rows = next(iter(payloads[idxs[0]].values())).shape[0]
+                self._record_launch(
+                    rows, 1, 0, time.monotonic_ns() - t0, 0
+                )
                 return
             sizes = [next(iter(payloads[i].values())).shape[0]
                      for i in idxs]
+            t0 = time.monotonic_ns()
             concat = {
                 name: np.concatenate([payloads[i][name] for i in idxs])
                 for name in payloads[idxs[0]]
             }
+            t1 = time.monotonic_ns()
             out = run(concat)
+            t2 = time.monotonic_ns()
             off = 0
             for i, n in zip(idxs, sizes):
                 results[i] = {k: v[off:off + n] for k, v in out.items()}
                 off += n
+            self._record_launch(
+                sum(sizes), len(idxs), t1 - t0, t2 - t1,
+                time.monotonic_ns() - t2,
+            )
 
         groups: Dict[Any, List[int]] = {}
         for i, p in enumerate(payloads):
@@ -189,7 +251,10 @@ class ModelEntry:
 
     def dispatch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self.max_batch_size <= 0:
-            return self.runner()(inputs)
+            t0 = time.monotonic_ns()
+            out = self.runner()(inputs)
+            self._record_launch(1, 1, 0, time.monotonic_ns() - t0, 0)
+            return out
         # read the batcher reference ONCE per attempt — an unload() racing
         # this call may null the field; a request that lands in a batcher
         # being shut down gets a clean "shut down" error and retries on a
@@ -355,6 +420,24 @@ class ModelRegistry:
         """
         check_version(name, version)
         m = self._get(name)
+        t_req = time.monotonic_ns()
+        try:
+            out = self._infer_checked(m, inputs, output_names)
+        except Exception:
+            m.record_request(False, time.monotonic_ns() - t_req, 0)
+            raise
+        rows = (next(iter(inputs.values())).shape[0]
+                if m.max_batch_size > 0 and inputs else 1)
+        m.record_request(True, time.monotonic_ns() - t_req, rows)
+        return out
+
+    def _infer_checked(
+        self,
+        m: ModelEntry,
+        inputs: Dict[str, np.ndarray],
+        output_names: Optional[Sequence[str]],
+    ) -> Dict[str, np.ndarray]:
+        name = m.name
         expected = {t.name: t for t in m.inputs}
         unknown = set(inputs) - set(expected)
         if unknown:
@@ -422,6 +505,66 @@ class ModelRegistry:
             }
             for n in self.names()
         }
+
+    def statistics(self, name: str = "",
+                   version: str = "") -> Dict[str, Any]:
+        """Per-model inference statistics — the Triton
+        `get_inference_statistics` / `GET /v2/models/<name>/stats`
+        document (the reference deploys Triton, whose clients scrape this
+        alongside metadata/config; `perf_analyzer` reads it between
+        passes). Empty name -> every model, Triton's all-models form.
+
+        Shape per model (cumulative since process start):
+          * `inference_count` — rows successfully inferred (each row of a
+            batched request counts, Triton semantics);
+          * `execution_count` — device launches (coalesced batches count
+            once: inference_count / execution_count is the effective
+            batching ratio the reference tunes via `dynamic_batching`);
+          * `inference_stats.success/fail` — request count + cumulative
+            request wall ns; `compute_input/infer/output` — per-launch
+            host assembly / device launch / result split ns;
+            `queue` — request wall not attributable to this request's
+            launch (time spent in the deadline batcher's window), derived
+            as success.ns minus launch wall attributed per request;
+          * `batch_stats` — per rows-per-launch {count, compute_infer ns}.
+        """
+        if name:
+            check_version(name, version)
+            self._get(name)
+            names = [name]
+        else:
+            names = self.names()
+        out = []
+        for n in names:
+            m = self._models[n]
+            with m._stats_lock:
+                queue_ns = max(0, m.success_ns - m.compute_request_ns)
+                out.append({
+                    "name": n,
+                    "version": MODEL_VERSION,
+                    "last_inference": m.last_inference_ms,
+                    "inference_count": m.inference_count,
+                    "execution_count": m.batches_run,
+                    "inference_stats": {
+                        "success": {"count": m.success_count,
+                                    "ns": m.success_ns},
+                        "fail": {"count": m.fail_count, "ns": m.fail_ns},
+                        "queue": {"count": m.success_count,
+                                  "ns": queue_ns},
+                        "compute_input": {"count": m.batches_run,
+                                          "ns": m.compute_input_ns},
+                        "compute_infer": {"count": m.batches_run,
+                                          "ns": m.compute_infer_ns},
+                        "compute_output": {"count": m.batches_run,
+                                           "ns": m.compute_output_ns},
+                    },
+                    "batch_stats": [
+                        {"batch_size": b,
+                         "compute_infer": {"count": c[0], "ns": c[1]}}
+                        for b, c in sorted(m.batch_stats.items())
+                    ],
+                })
+        return {"model_stats": out}
 
     def load(self, name: str) -> None:
         """Eagerly build a model's runner (params + program objects) —

@@ -495,6 +495,26 @@ def make_handler(app: ServingApp):
                 # registered model is lazily servable, so a process that
                 # answers is both live and ready.
                 self._send_json({self.path.rsplit("/", 1)[1]: True})
+            elif self.path == "/v2":
+                # KServe-v2 server metadata (tritonclient
+                # get_server_metadata): name/version + the protocol
+                # extensions this server implements
+                from human_body_proportion_estimation_tpu import (
+                    __version__,
+                )
+
+                self._send_json({
+                    "name": "human_body_proportion_estimation_tpu",
+                    "version": __version__,
+                    "extensions": [
+                        "model_repository", "model_repository(unload)",
+                        "statistics", "health",
+                    ],
+                })
+            elif self.path == "/v2/models/stats":
+                # all-models statistics (Triton's no-name
+                # get_inference_statistics form)
+                self._send_json(app.registry.statistics())
             elif self.path == "/v2/models":
                 # repository index (read-only mirror of the gRPC
                 # RepositoryIndex RPC; tensor inference is gRPC-only,
@@ -513,6 +533,18 @@ def make_handler(app: ServingApp):
                     if rest == ["config"]:
                         self._send_json(
                             app.registry.config(name, version)
+                        )
+                    elif rest == ["ready"]:
+                        # per-model readiness (tritonclient
+                        # is_model_ready): metadata() raises for unknown
+                        # name/version -> 404; every registered model is
+                        # lazily servable -> ready
+                        app.registry.metadata(name, version)
+                        self._send_json({"name": name, "ready": True})
+                    elif rest == ["stats"]:
+                        # Triton get_inference_statistics for one model
+                        self._send_json(
+                            app.registry.statistics(name, version)
                         )
                     elif not rest:
                         self._send_json(

@@ -453,6 +453,79 @@ def test_registry_stats(pipeline_and_registry):
     assert stats["yolov5m"] == {"loaded": False, "batches_run": 0}
 
 
+def test_inference_statistics():
+    """Triton get_inference_statistics semantics (registry.statistics):
+    inference_count counts ROWS of successful requests, execution_count
+    counts device launches (a coalesced batch is one), success/fail
+    track request wall time, batch_stats histograms rows-per-launch, and
+    validation failures land in `fail` without touching the
+    success-side counters."""
+    from human_body_proportion_estimation_tpu.serve.registry import (
+        ModelEntry,
+        ModelRegistry,
+        TensorSpec,
+    )
+
+    def build():
+        def run(inputs):
+            return {"y": inputs["x"] * 2.0}
+
+        return run
+
+    reg = ModelRegistry()
+    reg.register(ModelEntry(
+        name="m", platform="test",
+        inputs=[TensorSpec("x", "FP32", (-1, 4))],
+        outputs=[TensorSpec("y", "FP32", (-1, 4))],
+        max_batch_size=4, weights="random", build=build,
+        batch_timeout_ms=1.0,
+    ))
+
+    # zeroed before any traffic
+    (row,) = reg.statistics("m")["model_stats"]
+    assert row["inference_count"] == 0 and row["execution_count"] == 0
+    assert row["last_inference"] == 0 and row["batch_stats"] == []
+
+    reg.infer("m", {"x": np.zeros((2, 4), np.float32)})   # 2 rows
+    reg.infer("m", {"x": np.ones((1, 4), np.float32)})    # 1 row
+    with pytest.raises(ValueError):
+        reg.infer("m", {"bogus": np.zeros((1, 4), np.float32)})
+
+    (row,) = reg.statistics("m")["model_stats"]
+    assert row["name"] == "m" and row["version"] == "1"
+    assert row["inference_count"] == 3          # rows, not requests
+    assert row["execution_count"] == 2          # sequential -> 2 launches
+    s = row["inference_stats"]
+    assert s["success"]["count"] == 2 and s["success"]["ns"] > 0
+    assert s["fail"]["count"] == 1 and s["fail"]["ns"] > 0
+    assert s["compute_infer"]["count"] == 2
+    assert s["success"]["ns"] >= s["queue"]["ns"]
+    by_rows = {b["batch_size"]: b["compute_infer"]["count"]
+               for b in row["batch_stats"]}
+    assert by_rows == {1: 1, 2: 1}
+    assert row["last_inference"] > 0
+
+    # all-models form + unknown name/version errors (NOT_FOUND at edges)
+    assert [m["name"] for m in reg.statistics()["model_stats"]] == ["m"]
+    with pytest.raises(KeyError):
+        reg.statistics("nope")
+    with pytest.raises(KeyError):
+        reg.statistics("m", version="2")
+
+    # a coalesced launch: N concurrent single-row requests -> fewer
+    # launches than requests, every row still counted
+    import concurrent.futures as cf
+
+    before_exec = row["execution_count"]
+    xs = [np.full((1, 4), i, np.float32) for i in range(4)]
+    with cf.ThreadPoolExecutor(4) as ex:
+        list(ex.map(lambda x: reg.infer("m", {"x": x}), xs))
+    (row,) = reg.statistics("m")["model_stats"]
+    assert row["inference_count"] == 7
+    assert row["execution_count"] - before_exec < 4  # coalesced
+    reg.shutdown()
+
+
 def test_coalescing_respects_row_cap_and_shape_groups():
     """_run_coalesced must (a) never combine more rows than
     max_batch_size into one launch — the batcher caps request count, not

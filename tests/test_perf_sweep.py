@@ -132,3 +132,9 @@ def test_model_infer_sweep(tiny_server_with_grpc):
         assert r["errors"] == 0
         assert r["requests"] > 0
         assert r["latency_ms_p95"] >= r["latency_ms_p50"] > 0
+        # server-side counters per pass (perf_analyzer reads these from
+        # get_inference_statistics): every client request was served,
+        # coalescing means launches <= rows
+        assert r["server_inference_count"] >= r["requests"]
+        assert 0 < r["server_execution_count"] <= r["server_inference_count"]
+        assert r["batching_ratio"] >= 1.0

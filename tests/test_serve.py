@@ -586,3 +586,43 @@ def test_v2_health_and_model_config(served_app):
     assert client.model_config("nope")["_http_status"] == 404
     status, _ = _get(port, "/v2/models/hrnet/bogus")
     assert status == 404
+
+
+def test_v2_server_metadata_ready_and_stats(served_app):
+    """Remaining tritonclient introspection surface: GET /v2 server
+    metadata (get_server_metadata), /v2/models/<name>/ready
+    (is_model_ready), and /v2/models[/<name>]/stats
+    (get_inference_statistics)."""
+    from human_body_proportion_estimation_tpu import __version__
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    client = HttpClient("127.0.0.1", port)
+
+    meta = client.server_metadata()
+    assert meta["name"] == "human_body_proportion_estimation_tpu"
+    assert meta["version"] == __version__
+    assert "model_repository" in meta["extensions"]
+    assert "statistics" in meta["extensions"]
+
+    assert client.model_ready("hrnet") is True
+    assert client.model_ready("hrnet", version="1") is True
+    assert client.model_ready("nope") is False
+    assert client.model_ready("hrnet", version="2") is False
+
+    # all-models form lists every registered model; counters stay zeroed
+    # until tensor-level inference happens (counter semantics are covered
+    # in tests/test_model_registry.py::test_inference_statistics)
+    all_stats = client.model_stats()
+    names = {m["name"] for m in all_stats["model_stats"]}
+    assert "hrnet" in names and "ensemble_edet4_person_det_pose" in names
+    one = client.model_stats("hrnet")
+    (row,) = one["model_stats"]
+    assert row["name"] == "hrnet" and row["version"] == "1"
+    assert set(row["inference_stats"]) == {
+        "success", "fail", "queue",
+        "compute_input", "compute_infer", "compute_output",
+    }
+
+    assert client.model_stats("nope")["_http_status"] == 404
+    assert client.model_stats("hrnet", version="2")["_http_status"] == 404
