@@ -230,6 +230,47 @@ class HttpClient:
             path += f"/versions/{version}"
         return self._request("GET", path + "/ready").get("ready", False)
 
+    def infer(self, name: str, inputs: Dict[str, Any],
+              output_names=None, version: str = "") -> Dict[str, Any]:
+        """KServe-v2 HTTP inference (POST /v2/models/<name>/infer, JSON
+        tensors) — the HTTP twin of GrpcClient.infer. numpy dict in,
+        numpy dict out; raises ValueError with the server's KServe
+        {"error": ...} message on 4xx. Raw-bytes transport (large
+        tensors) stays on the gRPC client."""
+        import numpy as np
+
+        from human_body_proportion_estimation_tpu.serve.registry import (
+            NP_TO_TRITON,
+            TRITON_TO_NP,
+        )
+
+        path = f"/v2/models/{name}"
+        if version:
+            path += f"/versions/{version}"
+        doc = {"inputs": [
+            {"name": k, "shape": list(np.asarray(v).shape),
+             "datatype": NP_TO_TRITON[np.asarray(v).dtype],
+             "data": np.asarray(v).ravel().tolist()}
+            for k, v in inputs.items()
+        ]}
+        if output_names:
+            doc["outputs"] = [{"name": n} for n in output_names]
+        resp = self._request(
+            "POST", path + "/infer", json.dumps(doc).encode(),
+            "application/json",
+        )
+        if resp["_http_status"] != 200:
+            raise ValueError(
+                f"infer '{name}' failed "
+                f"({resp['_http_status']}): {resp.get('error')}"
+            )
+        return {
+            t["name"]: np.asarray(
+                t["data"], dtype=TRITON_TO_NP[t["datatype"]]
+            ).reshape(t["shape"])
+            for t in resp["outputs"]
+        }
+
     def model_stats(self, name: str = "",
                     version: str = "") -> Dict[str, Any]:
         """Per-model inference statistics (Triton

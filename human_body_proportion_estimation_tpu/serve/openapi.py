@@ -265,6 +265,24 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                     "404": {"description": "unknown model"},
                 },
             }},
+            "/v2/models/{name}/infer": {"post": {
+                "summary": "KServe-v2 HTTP inference (JSON tensors): "
+                           "{inputs: [{name, shape, datatype, data}], "
+                           "outputs?: [{name}]} -> {model_name, "
+                           "model_version, outputs: [...]}; the HTTP "
+                           "twin of the gRPC ModelInfer RPC (raw-bytes "
+                           "transport stays gRPC)",
+                "parameters": [{
+                    "name": "name", "in": "path", "required": True,
+                    "schema": {"type": "string"},
+                }],
+                "responses": {
+                    **_json_response({"type": "object"}, "outputs"),
+                    "400": {"description": "malformed request / bad "
+                                           "tensor (KServe {error})"},
+                    "404": {"description": "unknown model"},
+                },
+            }},
             "/v2": {"get": {
                 "summary": "KServe-v2 server metadata (name, version, "
                            "protocol extensions)",

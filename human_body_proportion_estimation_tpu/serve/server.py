@@ -609,6 +609,68 @@ def make_handler(app: ServingApp):
 
             self._send_ndjson_stream(lines())
 
+        def _v2_infer(self):
+            """POST /v2/models/<name>[/versions/<v>]/infer — the KServe-v2
+            HTTP inference protocol (JSON tensors), completing the HTTP
+            mirror of the gRPC ModelInfer RPC: Triton serves the same
+            route next to its gRPC endpoint. JSON `data` carries row-major
+            values; raw-bytes tensor transport stays gRPC-only (the
+            reference's deployment shape, triton_utils.py:13-15).
+            KServe error contract: {"error": ...} with 400/404."""
+            import numpy as np
+
+            from human_body_proportion_estimation_tpu.serve.registry import (
+                NP_TO_TRITON,
+                TRITON_TO_NP,
+            )
+
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            parts = self.path[len("/v2/models/"):].split("/")
+            name, rest = parts[0], parts[1:]
+            version = ""
+            if len(rest) >= 2 and rest[0] == "versions":
+                version, rest = rest[1], rest[2:]
+            if rest != ["infer"]:
+                self._send_json({"detail": "Not Found"}, 404)
+                return
+            try:
+                doc = json.loads(body)
+                inputs = {}
+                for t in doc.get("inputs", []):
+                    dt = t["datatype"]
+                    if dt not in TRITON_TO_NP:
+                        raise ValueError(f"unsupported datatype '{dt}'")
+                    inputs[t["name"]] = np.asarray(
+                        t["data"], dtype=TRITON_TO_NP[dt]
+                    ).reshape(t["shape"])
+                out_names = [o["name"]
+                             for o in doc.get("outputs", [])] or None
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
+                self._send_json({"error": f"malformed request: {e}"}, 400)
+                return
+            try:
+                out = app.registry.infer(
+                    name, inputs, out_names, version=version
+                )
+            except KeyError as e:
+                self._send_json({"error": str(e)}, 404)
+                return
+            except ValueError as e:
+                self._send_json({"error": str(e)}, 400)
+                return
+            self._send_json({
+                "model_name": name,
+                "model_version": "1",
+                "outputs": [
+                    {"name": k, "shape": list(v.shape),
+                     "datatype": NP_TO_TRITON[v.dtype],
+                     "data": v.ravel().tolist()}
+                    for k, v in out.items()
+                ],
+            })
+
         def do_POST(self):
             routes = {
                 "/body_proportion_length_estimation_file":
@@ -620,6 +682,10 @@ def make_handler(app: ServingApp):
                 "/body_proportion_length_estimation_video_stream"
             handler = routes.get(self.path)
             if handler is None and not stream:
+                if (self.path.startswith("/v2/models/")
+                        and self.path.endswith("/infer")):
+                    self._v2_infer()
+                    return
                 self._send_json({"detail": "Not Found"}, 404)
                 return
             try:

@@ -626,3 +626,47 @@ def test_v2_server_metadata_ready_and_stats(served_app):
 
     assert client.model_stats("nope")["_http_status"] == 404
     assert client.model_stats("hrnet", version="2")["_http_status"] == 404
+
+
+def test_v2_http_infer(served_app):
+    """KServe-v2 HTTP inference protocol (POST /v2/models/<name>/infer,
+    JSON tensors) — the HTTP twin of the gRPC ModelInfer RPC; Triton
+    serves the same route next to its gRPC endpoint."""
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    client = HttpClient("127.0.0.1", port)
+
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 3, 64, 64), dtype=np.float32)
+    out = client.infer("hrnet", {"input": x})
+    assert set(out) == {"output"}
+    assert out["output"].shape == (1, 17, 16, 16)
+    assert out["output"].dtype == np.float32
+    assert np.isfinite(out["output"]).all()
+
+    # deterministic + version path + requested-outputs filter
+    again = client.infer("hrnet", {"input": x}, version="1",
+                         output_names=["output"])
+    np.testing.assert_array_equal(out["output"], again["output"])
+
+    # JSON floats round-trip f32 exactly, so the HTTP result is bitwise
+    # equal to the tensor the server computed; statistics count the rows
+    stats = client.model_stats("hrnet")
+    assert stats["model_stats"][0]["inference_count"] >= 2
+
+    # KServe error contract: 404 unknown model/version, 400 bad input
+    with pytest.raises(ValueError, match="404"):
+        client.infer("nope", {"input": x})
+    with pytest.raises(ValueError, match="404"):
+        client.infer("hrnet", {"input": x}, version="9")
+    with pytest.raises(ValueError, match="400"):
+        client.infer("hrnet", {"wrong": x})
+    # malformed body straight at the route (no client-side validation)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/v2/models/hrnet/infer", body=b"not json",
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    detail = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 400 and "error" in detail
