@@ -230,13 +230,35 @@ class HttpClient:
             path += f"/versions/{version}"
         return self._request("GET", path + "/ready").get("ready", False)
 
+    def _request_raw(self, method: str, path: str, body: bytes,
+                     headers: Dict[str, str]):
+        """Like _request but returns (status, headers, raw bytes) — for
+        the binary-tensor transport where the body is not pure JSON."""
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout
+        )
+        try:
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+            return resp.status, dict(resp.getheaders()), resp.read()
+        finally:
+            conn.close()
+
     def infer(self, name: str, inputs: Dict[str, Any],
-              output_names=None, version: str = "") -> Dict[str, Any]:
-        """KServe-v2 HTTP inference (POST /v2/models/<name>/infer, JSON
-        tensors) — the HTTP twin of GrpcClient.infer. numpy dict in,
-        numpy dict out; raises ValueError with the server's KServe
-        {"error": ...} message on 4xx. Raw-bytes transport (large
-        tensors) stays on the gRPC client."""
+              output_names=None, version: str = "",
+              binary: bool = True) -> Dict[str, Any]:
+        """KServe-v2 HTTP inference (POST /v2/models/<name>/infer) — the
+        HTTP twin of GrpcClient.infer. numpy dict in, numpy dict out;
+        raises ValueError with the server's KServe {"error": ...} message
+        on 4xx.
+
+        binary=True (default, matching tritonclient's HTTP path) ships
+        tensors via Triton's binary_tensor_data extension: one JSON
+        header (Inference-Header-Content-Length) + raw little-endian
+        bytes, both directions — no float->JSON text inflation.
+        binary=False uses pure-JSON `data` arrays."""
         import numpy as np
 
         from human_body_proportion_estimation_tpu.serve.registry import (
@@ -247,29 +269,89 @@ class HttpClient:
         path = f"/v2/models/{name}"
         if version:
             path += f"/versions/{version}"
-        doc = {"inputs": [
-            {"name": k, "shape": list(np.asarray(v).shape),
-             "datatype": NP_TO_TRITON[np.asarray(v).dtype],
-             "data": np.asarray(v).ravel().tolist()}
-            for k, v in inputs.items()
-        ]}
-        if output_names:
-            doc["outputs"] = [{"name": n} for n in output_names]
-        resp = self._request(
-            "POST", path + "/infer", json.dumps(doc).encode(),
-            "application/json",
-        )
-        if resp["_http_status"] != 200:
-            raise ValueError(
-                f"infer '{name}' failed "
-                f"({resp['_http_status']}): {resp.get('error')}"
+        path += "/infer"
+
+        arrs = {k: np.asarray(v) for k, v in inputs.items()}
+        if not binary:
+            doc = {"inputs": [
+                {"name": k, "shape": list(v.shape),
+                 "datatype": NP_TO_TRITON[v.dtype],
+                 "data": v.ravel().tolist()}
+                for k, v in arrs.items()
+            ]}
+            if output_names:
+                doc["outputs"] = [{"name": n} for n in output_names]
+            resp = self._request(
+                "POST", path, json.dumps(doc).encode(),
+                "application/json",
             )
-        return {
-            t["name"]: np.asarray(
-                t["data"], dtype=TRITON_TO_NP[t["datatype"]]
-            ).reshape(t["shape"])
-            for t in resp["outputs"]
-        }
+            if resp["_http_status"] != 200:
+                raise ValueError(
+                    f"infer '{name}' failed "
+                    f"({resp['_http_status']}): {resp.get('error')}"
+                )
+            return {
+                t["name"]: np.asarray(
+                    t["data"], dtype=TRITON_TO_NP[t["datatype"]]
+                ).reshape(t["shape"])
+                for t in resp["outputs"]
+            }
+
+        # binary_tensor_data transport
+        chunks = []
+        tensors = []
+        for k, v in arrs.items():
+            raw = np.ascontiguousarray(v).astype(
+                v.dtype.newbyteorder("<"), copy=False
+            ).tobytes()
+            chunks.append(raw)
+            tensors.append({
+                "name": k, "shape": list(v.shape),
+                "datatype": NP_TO_TRITON[v.dtype],
+                "parameters": {"binary_data_size": len(raw)},
+            })
+        doc = {"inputs": tensors,
+               # all outputs binary unless the caller narrows them
+               "parameters": {"binary_data_output": True}}
+        if output_names:
+            doc["outputs"] = [
+                {"name": n, "parameters": {"binary_data": True}}
+                for n in output_names
+            ]
+        header = json.dumps(doc).encode()
+        status, resp_headers, payload = self._request_raw(
+            "POST", path, header + b"".join(chunks),
+            {"Content-Type": "application/octet-stream",
+             "Inference-Header-Content-Length": str(len(header))},
+        )
+        hlen = {k.lower(): v for k, v in resp_headers.items()}.get(
+            "inference-header-content-length"
+        )
+        if status != 200:
+            err = json.loads(payload)
+            raise ValueError(
+                f"infer '{name}' failed ({status}): {err.get('error')}"
+            )
+        if hlen is None:  # server answered pure JSON
+            reply, blob = json.loads(payload), b""
+        else:
+            reply = json.loads(payload[:int(hlen)])
+            blob = payload[int(hlen):]
+        out, cursor = {}, 0
+        for t in reply["outputs"]:
+            dtype = np.dtype(TRITON_TO_NP[t["datatype"]]).newbyteorder("<")
+            nbin = (t.get("parameters") or {}).get("binary_data_size")
+            if nbin is not None:
+                out[t["name"]] = np.frombuffer(
+                    blob, dtype=dtype, count=int(nbin) // dtype.itemsize,
+                    offset=cursor,
+                ).reshape(t["shape"])
+                cursor += int(nbin)
+            else:
+                out[t["name"]] = np.asarray(
+                    t["data"], dtype=dtype
+                ).reshape(t["shape"])
+        return out
 
     def model_stats(self, name: str = "",
                     version: str = "") -> Dict[str, Any]:

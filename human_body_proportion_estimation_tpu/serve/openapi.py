@@ -266,12 +266,18 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                 },
             }},
             "/v2/models/{name}/infer": {"post": {
-                "summary": "KServe-v2 HTTP inference (JSON tensors): "
-                           "{inputs: [{name, shape, datatype, data}], "
-                           "outputs?: [{name}]} -> {model_name, "
-                           "model_version, outputs: [...]}; the HTTP "
-                           "twin of the gRPC ModelInfer RPC (raw-bytes "
-                           "transport stays gRPC)",
+                "summary": "KServe-v2 HTTP inference: JSON tensors "
+                           "({inputs: [{name, shape, datatype, data}], "
+                           "outputs?: [{name}]}) or Triton's "
+                           "binary_tensor_data extension "
+                           "(Inference-Header-Content-Length: J -> first "
+                           "J body bytes are the JSON header, the rest "
+                           "raw little-endian tensor bytes in inputs "
+                           "order via parameters.binary_data_size; "
+                           "binary outputs via parameters.binary_data / "
+                           "request-level binary_data_output) -> "
+                           "{model_name, model_version, outputs: [...]}; "
+                           "the HTTP twin of the gRPC ModelInfer RPC",
                 "parameters": [{
                     "name": "name", "in": "path", "required": True,
                     "schema": {"type": "string"},

@@ -508,7 +508,7 @@ def make_handler(app: ServingApp):
                     "version": __version__,
                     "extensions": [
                         "model_repository", "model_repository(unload)",
-                        "statistics", "health",
+                        "statistics", "health", "binary_tensor_data",
                     ],
                 })
             elif self.path == "/v2/models/stats":
@@ -611,12 +611,24 @@ def make_handler(app: ServingApp):
 
         def _v2_infer(self):
             """POST /v2/models/<name>[/versions/<v>]/infer — the KServe-v2
-            HTTP inference protocol (JSON tensors), completing the HTTP
-            mirror of the gRPC ModelInfer RPC: Triton serves the same
-            route next to its gRPC endpoint. JSON `data` carries row-major
-            values; raw-bytes tensor transport stays gRPC-only (the
-            reference's deployment shape, triton_utils.py:13-15).
-            KServe error contract: {"error": ...} with 400/404."""
+            HTTP inference protocol, completing the HTTP mirror of the
+            gRPC ModelInfer RPC: Triton serves the same route next to its
+            gRPC endpoint. Two tensor transports, exactly Triton's:
+
+            - JSON tensors: each input carries row-major values in `data`.
+            - The binary_tensor_data extension (what tritonclient's HTTP
+              path uses by default): `Inference-Header-Content-Length: J`
+              marks the first J body bytes as the JSON header; the rest is
+              raw little-endian tensor bytes, concatenated in `inputs`
+              order for every input declaring
+              `parameters.binary_data_size`. Outputs come back binary when
+              the request sets per-output `parameters.binary_data` or the
+              request-level `parameters.binary_data_output`; the response
+              then carries the same header + trailing bytes in `outputs`
+              order.
+
+            KServe error contract: {"error": ...} with 400/404 (always
+            pure JSON)."""
             import numpy as np
 
             from human_body_proportion_estimation_tpu.serve.registry import (
@@ -635,17 +647,74 @@ def make_handler(app: ServingApp):
                 self._send_json({"detail": "Not Found"}, 404)
                 return
             try:
+                json_len = self.headers.get(
+                    "Inference-Header-Content-Length"
+                )
+                blob = b""
+                if json_len is not None:
+                    json_len = int(json_len)
+                    if not 0 <= json_len <= len(body):
+                        raise ValueError(
+                            "Inference-Header-Content-Length "
+                            f"{json_len} outside body ({len(body)} bytes)"
+                        )
+                    body, blob = body[:json_len], body[json_len:]
                 doc = json.loads(body)
                 inputs = {}
+                cursor = 0
                 for t in doc.get("inputs", []):
                     dt = t["datatype"]
                     if dt not in TRITON_TO_NP:
                         raise ValueError(f"unsupported datatype '{dt}'")
-                    inputs[t["name"]] = np.asarray(
-                        t["data"], dtype=TRITON_TO_NP[dt]
-                    ).reshape(t["shape"])
-                out_names = [o["name"]
-                             for o in doc.get("outputs", [])] or None
+                    dtype = np.dtype(TRITON_TO_NP[dt]).newbyteorder("<")
+                    nbin = (t.get("parameters") or {}).get(
+                        "binary_data_size"
+                    )
+                    if nbin is not None:
+                        # binary transport: consume this input's slice of
+                        # the trailing bytes (strict sizing, like Triton)
+                        want = int(np.prod(t["shape"], dtype=np.int64)
+                                   ) * dtype.itemsize
+                        if int(nbin) != want:
+                            raise ValueError(
+                                f"input '{t['name']}': binary_data_size "
+                                f"{nbin} != shape {t['shape']} x "
+                                f"{dt} = {want} bytes"
+                            )
+                        if cursor + want > len(blob):
+                            raise ValueError(
+                                f"input '{t['name']}': binary payload "
+                                "truncated (need "
+                                f"{cursor + want - len(blob)} more bytes; "
+                                "is Inference-Header-Content-Length set?)"
+                            )
+                        inputs[t["name"]] = np.frombuffer(
+                            blob, dtype=dtype, count=want // dtype.itemsize,
+                            offset=cursor,
+                        ).reshape(t["shape"])
+                        cursor += want
+                    else:
+                        inputs[t["name"]] = np.asarray(
+                            t["data"], dtype=dtype
+                        ).reshape(t["shape"])
+                if cursor != len(blob):
+                    raise ValueError(
+                        f"{len(blob) - cursor} trailing binary bytes not "
+                        "claimed by any input's binary_data_size"
+                    )
+                out_specs = doc.get("outputs", [])
+                out_names = [o["name"] for o in out_specs] or None
+                # per-output binary_data, defaulted by the request-level
+                # binary_data_output parameter (both are Triton's)
+                bin_default = bool((doc.get("parameters") or {}).get(
+                    "binary_data_output", False
+                ))
+                bin_out = {
+                    o["name"]: bool((o.get("parameters") or {}).get(
+                        "binary_data", bin_default
+                    ))
+                    for o in out_specs
+                }
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._send_json({"error": f"malformed request: {e}"}, 400)
@@ -660,16 +729,38 @@ def make_handler(app: ServingApp):
             except ValueError as e:
                 self._send_json({"error": str(e)}, 400)
                 return
-            self._send_json({
-                "model_name": name,
-                "model_version": "1",
-                "outputs": [
-                    {"name": k, "shape": list(v.shape),
-                     "datatype": NP_TO_TRITON[v.dtype],
-                     "data": v.ravel().tolist()}
-                    for k, v in out.items()
-                ],
-            })
+            tensors, chunks = [], []
+            for k, v in out.items():
+                if bin_out.get(k, bin_default):
+                    raw = np.ascontiguousarray(v).astype(
+                        v.dtype.newbyteorder("<"), copy=False
+                    ).tobytes()
+                    chunks.append(raw)
+                    tensors.append(
+                        {"name": k, "shape": list(v.shape),
+                         "datatype": NP_TO_TRITON[v.dtype],
+                         "parameters": {"binary_data_size": len(raw)}}
+                    )
+                else:
+                    tensors.append(
+                        {"name": k, "shape": list(v.shape),
+                         "datatype": NP_TO_TRITON[v.dtype],
+                         "data": v.ravel().tolist()}
+                    )
+            reply = {"model_name": name, "model_version": "1",
+                     "outputs": tensors}
+            if not chunks:
+                self._send_json(reply)
+                return
+            header = json.dumps(reply).encode()
+            payload = header + b"".join(chunks)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Inference-Header-Content-Length",
+                             str(len(header)))
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
 
         def do_POST(self):
             routes = {

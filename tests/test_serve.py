@@ -639,7 +639,7 @@ def test_v2_http_infer(served_app):
 
     rng = np.random.default_rng(3)
     x = rng.random((1, 3, 64, 64), dtype=np.float32)
-    out = client.infer("hrnet", {"input": x})
+    out = client.infer("hrnet", {"input": x}, binary=False)
     assert set(out) == {"output"}
     assert out["output"].shape == (1, 17, 16, 16)
     assert out["output"].dtype == np.float32
@@ -647,7 +647,7 @@ def test_v2_http_infer(served_app):
 
     # deterministic + version path + requested-outputs filter
     again = client.infer("hrnet", {"input": x}, version="1",
-                         output_names=["output"])
+                         output_names=["output"], binary=False)
     np.testing.assert_array_equal(out["output"], again["output"])
 
     # JSON floats round-trip f32 exactly, so the HTTP result is bitwise
@@ -655,13 +655,15 @@ def test_v2_http_infer(served_app):
     stats = client.model_stats("hrnet")
     assert stats["model_stats"][0]["inference_count"] >= 2
 
-    # KServe error contract: 404 unknown model/version, 400 bad input
-    with pytest.raises(ValueError, match="404"):
-        client.infer("nope", {"input": x})
-    with pytest.raises(ValueError, match="404"):
-        client.infer("hrnet", {"input": x}, version="9")
-    with pytest.raises(ValueError, match="400"):
-        client.infer("hrnet", {"wrong": x})
+    # KServe error contract: 404 unknown model/version, 400 bad input —
+    # on BOTH transports (binary errors come back as pure JSON)
+    for binary in (False, True):
+        with pytest.raises(ValueError, match="404"):
+            client.infer("nope", {"input": x}, binary=binary)
+        with pytest.raises(ValueError, match="404"):
+            client.infer("hrnet", {"input": x}, version="9", binary=binary)
+        with pytest.raises(ValueError, match="400"):
+            client.infer("hrnet", {"wrong": x}, binary=binary)
     # malformed body straight at the route (no client-side validation)
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
     conn.request("POST", "/v2/models/hrnet/infer", body=b"not json",
@@ -670,3 +672,98 @@ def test_v2_http_infer(served_app):
     detail = json.loads(resp.read())
     conn.close()
     assert resp.status == 400 and "error" in detail
+
+
+def test_v2_http_infer_binary(served_app):
+    """Triton binary_tensor_data extension on the HTTP infer route:
+    Inference-Header-Content-Length framing, raw little-endian tensor
+    bytes both directions, binary_data_size accounting, and bitwise
+    equality with the JSON transport."""
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    client = HttpClient("127.0.0.1", port)
+    assert "binary_tensor_data" in client.server_metadata()["extensions"]
+
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 3, 64, 64), dtype=np.float32)
+    ref = client.infer("hrnet", {"input": x}, binary=False)
+    out = client.infer("hrnet", {"input": x})  # binary default
+    np.testing.assert_array_equal(ref["output"], out["output"])
+    assert out["output"].dtype == np.float32
+
+    # explicit output list with per-output binary_data
+    out2 = client.infer("hrnet", {"input": x}, output_names=["output"])
+    np.testing.assert_array_equal(ref["output"], out2["output"])
+
+    # wire-level framing: header + JSON part + exactly-sized blob
+    header = json.dumps({
+        "inputs": [{"name": "input", "shape": list(x.shape),
+                    "datatype": "FP32",
+                    "parameters": {"binary_data_size": x.nbytes}}],
+        "parameters": {"binary_data_output": True},
+    }).encode()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request(
+        "POST", "/v2/models/hrnet/infer", body=header + x.tobytes(),
+        headers={"Inference-Header-Content-Length": str(len(header)),
+                 "Content-Type": "application/octet-stream"},
+    )
+    resp = conn.getresponse()
+    payload = resp.read()
+    jlen = int(resp.getheader("Inference-Header-Content-Length"))
+    conn.close()
+    assert resp.status == 200
+    reply = json.loads(payload[:jlen])
+    (t,) = reply["outputs"]
+    assert "data" not in t
+    nbin = t["parameters"]["binary_data_size"]
+    assert nbin == len(payload) - jlen == ref["output"].nbytes
+    got = np.frombuffer(payload[jlen:], dtype="<f4").reshape(t["shape"])
+    np.testing.assert_array_equal(got, ref["output"])
+
+    # binary input + JSON output (no binary_data_output): data arrays back
+    header = json.dumps({
+        "inputs": [{"name": "input", "shape": list(x.shape),
+                    "datatype": "FP32",
+                    "parameters": {"binary_data_size": x.nbytes}}],
+    }).encode()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request(
+        "POST", "/v2/models/hrnet/infer", body=header + x.tobytes(),
+        headers={"Inference-Header-Content-Length": str(len(header))},
+    )
+    resp = conn.getresponse()
+    assert resp.getheader("Inference-Header-Content-Length") is None
+    reply = json.loads(resp.read())
+    conn.close()
+    got = np.asarray(reply["outputs"][0]["data"], np.float32).reshape(
+        reply["outputs"][0]["shape"]
+    )
+    np.testing.assert_array_equal(got, ref["output"])
+
+    # strict sizing errors: wrong binary_data_size, truncated payload,
+    # unclaimed trailing bytes — all KServe 400s
+    def post_raw(header_doc, blob, hlen=None):
+        h = json.dumps(header_doc).encode()
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", "/v2/models/hrnet/infer", body=h + blob,
+                  headers={"Inference-Header-Content-Length":
+                           str(len(h) if hlen is None else hlen)})
+        r = c.getresponse()
+        body = json.loads(r.read())
+        c.close()
+        return r.status, body
+
+    good = {"name": "input", "shape": list(x.shape), "datatype": "FP32",
+            "parameters": {"binary_data_size": x.nbytes}}
+    st, body = post_raw(
+        {"inputs": [dict(good, parameters={"binary_data_size": 13})]},
+        x.tobytes())
+    assert st == 400 and "binary_data_size" in body["error"]
+    st, body = post_raw({"inputs": [good]}, x.tobytes()[:-8])
+    assert st == 400 and "truncated" in body["error"]
+    st, body = post_raw({"inputs": [good]}, x.tobytes() + b"XX")
+    assert st == 400 and "trailing" in body["error"]
+    st, body = post_raw({"inputs": [good]}, x.tobytes(), hlen=10 ** 9)
+    assert st == 400 and "error" in body
