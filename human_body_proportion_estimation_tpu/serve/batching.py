@@ -109,12 +109,16 @@ class DynamicBatcher:
         batch_timeout_ms: float = 4.0,
         queue_depth: int = 256,
         metrics: Metrics | None = None,
+        trace_name: str = "pipeline",
     ):
         self._runner = runner
         self._max_batch = max_batch
         self._timeout_s = batch_timeout_ms / 1e3
         self._queue: queue.Queue[WorkItem | None] = queue.Queue(queue_depth)
         self.metrics = metrics or Metrics()
+        # label for sampled trace records (the Triton trace extension;
+        # serve/tracing.py) — the domain pipeline or a registry model name
+        self.trace_name = trace_name
         self._stopping = False
         self._thread = threading.Thread(
             target=self._loop, name="tpu-batcher", daemon=True
@@ -187,12 +191,14 @@ class DynamicBatcher:
                         f"runner returned {len(results)} results for "
                         f"{len(batch)} payloads"
                     )
+                done = time.perf_counter()
                 for w, r in zip(batch, results):
                     w.future.set_result(r)
                     self.metrics.observe_request(
-                        time.perf_counter() - w.enqueue_time,
+                        done - w.enqueue_time,
                         launch - w.enqueue_time,
                     )
+                    self._maybe_trace(w, launch, done, len(batch))
             except Exception as e:  # noqa: BLE001 — fail the whole batch
                 for w in batch:
                     if not w.future.done():
@@ -202,3 +208,13 @@ class DynamicBatcher:
                         launch - w.enqueue_time,
                         failed=True,
                     )
+
+    def _maybe_trace(self, w: WorkItem, launch: float, done: float,
+                     batch_size: int):
+        """Triton trace extension: when the global tracer samples this
+        request, record its measured queue/compute wall timestamps."""
+        from human_body_proportion_estimation_tpu.serve import tracing
+
+        tracing.trace_batch_item(
+            self.trace_name, w.enqueue_time, launch, done, batch_size
+        )

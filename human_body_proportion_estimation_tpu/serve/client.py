@@ -230,6 +230,31 @@ class HttpClient:
             path += f"/versions/{version}"
         return self._request("GET", path + "/ready").get("ready", False)
 
+    def get_log_settings(self) -> Dict[str, Any]:
+        """Triton logging extension (tritonclient get_log_settings
+        analog): the server's runtime log switches."""
+        return self._request("GET", "/v2/logging")
+
+    def update_log_settings(self, settings: Dict[str, Any]) -> Dict[str, Any]:
+        """tritonclient update_log_settings analog: POST the fields to
+        change; returns the full resulting settings (check _http_status
+        == 400 for rejected updates)."""
+        return self._request("POST", "/v2/logging",
+                             body=json.dumps(settings).encode(),
+                             content_type="application/json")
+
+    def get_trace_settings(self) -> Dict[str, Any]:
+        """Triton trace extension (tritonclient get_trace_settings
+        analog): the string-valued global trace settings document."""
+        return self._request("GET", "/v2/trace/setting")
+
+    def update_trace_settings(self,
+                              settings: Dict[str, Any]) -> Dict[str, Any]:
+        """tritonclient update_trace_settings analog."""
+        return self._request("POST", "/v2/trace/setting",
+                             body=json.dumps(settings).encode(),
+                             content_type="application/json")
+
     def _request_raw(self, method: str, path: str, body: bytes,
                      headers: Dict[str, str]):
         """Like _request but returns (status, headers, raw bytes) — for

@@ -85,6 +85,7 @@ class NativeBatcher:
         batch_timeout_ms: float = 4.0,
         queue_depth: int = 256,
         pipeline_depth: int = 2,
+        trace_name: str = "pipeline",
     ):
         """`pipeline_depth`: number of batches allowed in flight at once.
         2 lets batch N+1's host->device upload overlap batch N's compute
@@ -96,6 +97,9 @@ class NativeBatcher:
         self._core = self._lib.hbpe_core_create(
             max_batch, batch_timeout_ms, queue_depth
         )
+        # label for sampled trace records (the Triton trace extension,
+        # serve/tracing.py)
+        self.trace_name = trace_name
         self._runner = runner
         self._max_batch = max_batch
         self._pending: Dict[int, tuple] = {}
@@ -153,6 +157,7 @@ class NativeBatcher:
 
     def _execute(self, batch_ids: List[int], items: List[tuple]):
         try:
+            launch = time.perf_counter()
             payloads = [it[0] for it in items]
             results = None
             error = None
@@ -186,8 +191,15 @@ class NativeBatcher:
                     if not fut.done():
                         fut.set_exception(error)
             else:
-                for (_, fut, _), r in zip(items, results):
+                from human_body_proportion_estimation_tpu.serve import (
+                    tracing,
+                )
+
+                for (_, fut, enq), r in zip(items, results):
                     fut.set_result(r)
+                    tracing.trace_batch_item(
+                        self.trace_name, enq, launch, done, len(items)
+                    )
         finally:
             self._inflight.release()
 

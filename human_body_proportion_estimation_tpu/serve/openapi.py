@@ -302,6 +302,36 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                 "summary": "KServe-v2 readiness",
                 "responses": _json_response({"type": "object"}, "ready"),
             }},
+            "/v2/logging": {
+                "get": {
+                    "summary": "Triton logging extension: current "
+                               "runtime log settings",
+                    "responses": _json_response({"type": "object"},
+                                                "settings"),
+                },
+                "post": {
+                    "summary": "Update log settings (subset of fields); "
+                               "400 on unknown field or bad value",
+                    "responses": _json_response({"type": "object"},
+                                                "settings"),
+                },
+            },
+            "/v2/trace/setting": {
+                "get": {
+                    "summary": "Triton trace extension: global trace "
+                               "settings (string-valued document)",
+                    "responses": _json_response({"type": "object"},
+                                                "settings"),
+                },
+                "post": {
+                    "summary": "Update trace settings (trace_level, "
+                               "trace_rate, trace_count, log_frequency, "
+                               "trace_file); sampled requests append "
+                               "timestamp records to trace_file",
+                    "responses": _json_response({"type": "object"},
+                                                "settings"),
+                },
+            },
             "/docs": {"get": {
                 "summary": "Interactive Swagger-UI page rendering "
                            "/openapi.json (the FastAPI auto-docs role)",

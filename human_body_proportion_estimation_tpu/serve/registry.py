@@ -252,8 +252,19 @@ class ModelEntry:
     def dispatch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self.max_batch_size <= 0:
             t0 = time.monotonic_ns()
+            wall0 = time.time_ns()
             out = self.runner()(inputs)
             self._record_launch(1, 1, 0, time.monotonic_ns() - t0, 0)
+            # fixed-signature models bypass the batcher, so the Triton
+            # trace extension's sampling hook lives here instead
+            from human_body_proportion_estimation_tpu.serve import tracing
+
+            if tracing.TRACER.sample():
+                tracing.TRACER.record(
+                    self.name,
+                    {"COMPUTE_START": wall0, "COMPUTE_END": time.time_ns()},
+                    batch_size=1,
+                )
             return out
         # read the batcher reference ONCE per attempt — an unload() racing
         # this call may null the field; a request that lands in a batcher
@@ -272,6 +283,7 @@ class ModelEntry:
                             self._run_coalesced,
                             max_batch=self.max_batch_size,
                             batch_timeout_ms=self.batch_timeout_ms,
+                            trace_name=self.name,
                         )
                     batcher = self._batcher
             try:

@@ -509,8 +509,25 @@ def make_handler(app: ServingApp):
                     "extensions": [
                         "model_repository", "model_repository(unload)",
                         "statistics", "health", "binary_tensor_data",
+                        "logging", "trace",
                     ],
                 })
+            elif self.path == "/v2/logging":
+                # Triton logging extension (tritonclient
+                # get_log_settings): the runtime-adjustable log switches
+                from human_body_proportion_estimation_tpu.utils.logging import (  # noqa: E501
+                    log_settings,
+                )
+
+                self._send_json(log_settings())
+            elif self.path == "/v2/trace/setting":
+                # Triton trace extension (tritonclient
+                # get_trace_settings): string-valued settings document
+                from human_body_proportion_estimation_tpu.serve.tracing import (  # noqa: E501
+                    TRACER,
+                )
+
+                self._send_json(TRACER.settings())
             elif self.path == "/v2/models/stats":
                 # all-models statistics (Triton's no-name
                 # get_inference_statistics form)
@@ -608,6 +625,33 @@ def make_handler(app: ServingApp):
                 yield summary
 
             self._send_ndjson_stream(lines())
+
+        def _v2_settings_update(self):
+            """POST /v2/logging | /v2/trace/setting — the Triton logging
+            and trace extensions' update forms (tritonclient
+            update_log_settings / update_trace_settings): a JSON body
+            with the fields to change; response is the full resulting
+            settings document; unknown fields or bad values are the
+            extensions' 400 {"error": ...} contract."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                updates = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(updates, dict):
+                    raise ValueError("body must be a JSON object")
+                if self.path == "/v2/logging":
+                    from human_body_proportion_estimation_tpu.utils.logging import (  # noqa: E501
+                        configure_logging,
+                    )
+
+                    self._send_json(configure_logging(updates))
+                else:
+                    from human_body_proportion_estimation_tpu.serve.tracing import (  # noqa: E501
+                        TRACER,
+                    )
+
+                    self._send_json(TRACER.update(updates))
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send_json({"error": str(e)}, 400)
 
         def _v2_infer(self):
             """POST /v2/models/<name>[/versions/<v>]/infer — the KServe-v2
@@ -776,6 +820,9 @@ def make_handler(app: ServingApp):
                 if (self.path.startswith("/v2/models/")
                         and self.path.endswith("/infer")):
                     self._v2_infer()
+                    return
+                if self.path in ("/v2/logging", "/v2/trace/setting"):
+                    self._v2_settings_update()
                     return
                 self._send_json({"detail": "Not Found"}, 404)
                 return

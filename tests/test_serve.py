@@ -550,6 +550,63 @@ def test_docs_serves_swagger_ui_html(served_app):
     assert "swagger-ui" in body.lower()
 
 
+def test_v2_logging_and_trace_extensions(served_app, tmp_path,
+                                         monkeypatch):
+    """Triton logging + trace extensions over HTTP: GET returns the
+    settings documents, POST updates them (full doc back), bad updates
+    are the 400 {"error"} contract, and a traced domain request appends
+    a timestamp record to trace_file."""
+    from human_body_proportion_estimation_tpu.serve import tracing
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+    from human_body_proportion_estimation_tpu.utils.logging import (
+        configure_logging,
+        log_settings,
+    )
+
+    tracer = tracing.RequestTracer()
+    monkeypatch.setattr(tracing, "TRACER", tracer)
+    log_before = log_settings()
+    port, jpg = served_app
+    client = HttpClient("127.0.0.1", port)
+    try:
+        assert set(client.server_metadata()["extensions"]) >= {
+            "logging", "trace"}
+
+        doc = client.get_log_settings()
+        assert doc["log_info"] is True and doc["log_verbose_level"] == 0
+        out = client.update_log_settings({"log_verbose_level": 1})
+        assert out["_http_status"] == 200 and out["log_verbose_level"] == 1
+        assert client.update_log_settings(
+            {"nope": True})["_http_status"] == 400
+        assert client.update_log_settings(
+            {"log_format": "rfc3339"})["_http_status"] == 400
+
+        tdoc = client.get_trace_settings()
+        assert tdoc["trace_level"] == ["OFF"]
+        trace_file = str(tmp_path / "trace.json")
+        out = client.update_trace_settings({
+            "trace_level": ["TIMESTAMPS"], "trace_rate": 1,
+            "trace_file": trace_file,
+        })
+        assert out["_http_status"] == 200
+        assert out["trace_rate"] == "1"  # Triton string-valued doc
+        assert client.update_trace_settings(
+            {"trace_rate": 0})["_http_status"] == 400
+
+        # a domain request through the batcher gets traced
+        resp = client.estimate_image(jpg)
+        assert resp["code"] == "success"
+        tracer.flush()
+        recs = [json.loads(ln) for ln in open(trace_file,
+                                              encoding="utf-8")]
+        assert len(recs) >= 1
+        ts = recs[0]["timestamps"]
+        assert ts["QUEUE_START"] <= ts["COMPUTE_START"] <= \
+            ts["COMPUTE_END"]
+    finally:
+        configure_logging(log_before)
+
+
 def test_v2_health_and_model_config(served_app):
     """KServe-v2 surface: /v2/health/live|ready (tritonclient
     is_server_live/ready), model version in index/metadata (Triton's
