@@ -112,7 +112,12 @@ class RequestTracer:
     def record(self, name: str, timestamps: Dict[str, int],
                **fields: Any) -> None:
         """Append one trace record ({name, timestamps: {EVENT: wall ns},
-        extra fields}) to trace_file, honoring log_frequency buffering."""
+        extra fields}) to trace_file, honoring log_frequency buffering.
+
+        Never raises: an unwritable trace_file disables tracing (logged
+        once) instead of propagating into the batcher completion loops —
+        Triton likewise never fails an inference on a trace-write error.
+        """
         entry = {
             "model": name,
             "timestamps": {k: int(v) for k, v in timestamps.items()},
@@ -124,18 +129,31 @@ class RequestTracer:
                 return
             pending, self._pending = self._pending, []
             path = self.trace_file
-        with open(path, "a", encoding="utf-8") as f:
-            for e in pending:
-                f.write(json.dumps(e) + "\n")
+        self._write(path, pending)
 
     def flush(self) -> None:
         with self._lock:
             pending, self._pending = self._pending, []
             path = self.trace_file
         if pending:
+            self._write(path, pending)
+
+    def _write(self, path: str, pending: List[dict]) -> None:
+        """Append records; on OSError drop them and turn tracing OFF."""
+        try:
             with open(path, "a", encoding="utf-8") as f:
                 for e in pending:
                     f.write(json.dumps(e) + "\n")
+        except OSError as exc:
+            with self._lock:
+                self.trace_level = ["OFF"]
+                self._pending.clear()
+            from ..utils.logging import get_logger
+
+            get_logger("serve").warning(
+                "trace_write_failed",
+                msg=f"disabling tracing: cannot write {path!r}: {exc}",
+            )
 
 
 # One process-wide tracer, like Triton's global trace settings (per-model

@@ -72,15 +72,27 @@ def configure_logging(updates: dict[str, Any]) -> dict[str, Any]:
         checked[key] = value
     with _SETTINGS_LOCK:
         old_file = _settings["log_file"]
+        new_file = checked.get("log_file", old_file)
+        new_stream = None
+        if new_file != old_file and new_file:
+            # Open BEFORE mutating settings / closing the old stream so an
+            # unopenable path maps to the extension's 400 contract and
+            # leaves the previous sink intact (advisor r4: OSError here
+            # used to escape the route handler after the settings doc
+            # already claimed the new file).
+            try:
+                new_stream = open(  # noqa: SIM115 — held open
+                    new_file, "a", encoding="utf-8"
+                )
+            except OSError as exc:
+                raise ValueError(
+                    f"cannot open log_file {new_file!r}: {exc}"
+                ) from None
         _settings.update(checked)
-        if _settings["log_file"] != old_file:
+        if new_file != old_file:
             if _log_file_stream is not None:
                 _log_file_stream.close()
-                _log_file_stream = None
-            if _settings["log_file"]:
-                _log_file_stream = open(  # noqa: SIM115 — held open
-                    _settings["log_file"], "a", encoding="utf-8"
-                )
+            _log_file_stream = new_stream
         return dict(_settings)
 
 
@@ -113,10 +125,21 @@ class JsonLogger:
             **fields,
         }
         line = json.dumps(record, default=str)
-        stream = _log_file_stream or self._stream
-        with self._lock:
-            stream.write(line + "\n")
-            stream.flush()
+        # Snapshot + write under the module lock: a concurrent
+        # configure_logging swaps/closes the shared file stream, and all
+        # JsonLogger instances share that sink — one lock keeps lines
+        # whole and never writes a closed stream (advisor r4). Backstop
+        # try/except: logging must never take down a serving thread.
+        try:
+            with _SETTINGS_LOCK:
+                stream = _log_file_stream or self._stream
+                stream.write(line + "\n")
+                stream.flush()
+        except (OSError, ValueError):
+            try:
+                sys.stderr.write(line + "\n")
+            except OSError:
+                pass
 
     def debug(self, event: str, **fields):
         self._emit("debug", event, **fields)

@@ -171,6 +171,41 @@ def test_trace_records_through_dynamic_batcher(fresh_tracer):
         assert 1 <= rec["batch_size"] <= 4
 
 
+def test_log_file_unopenable_is_400_and_keeps_old_sink(
+        restore_log_settings, tmp_path):
+    """An unopenable log_file maps to the extension's 400 contract
+    (ValueError) and leaves the previous settings + sink intact
+    (advisor r4: OSError used to escape after mutating the document)."""
+    from human_body_proportion_estimation_tpu.utils.logging import (
+        JsonLogger,
+        configure_logging,
+        log_settings,
+    )
+
+    buf = io.StringIO()
+    log = JsonLogger("t", stream=buf)
+    good = tmp_path / "good.log"
+    configure_logging({"log_file": str(good)})
+    with pytest.raises(ValueError):
+        configure_logging({"log_file": str(tmp_path / "no" / "dir.log")})
+    assert log_settings()["log_file"] == str(good)
+    log.info("still_good")  # the good sink must still be open
+    assert json.loads(good.read_text())["event"] == "still_good"
+
+
+def test_trace_write_failure_never_raises_and_disables(fresh_tracer):
+    """OSError on trace_file append must not propagate into the batcher
+    completion loops (advisor r4 medium): the record is dropped and
+    tracing auto-disables."""
+    fresh_tracer.update({"trace_level": ["TIMESTAMPS"], "trace_rate": 1})
+    fresh_tracer.trace_file = fresh_tracer.trace_file + "/not/a/dir"
+    assert fresh_tracer.sample()
+    fresh_tracer.record("m", {"COMPUTE_START": 1})  # must not raise
+    assert fresh_tracer.settings()["trace_level"] == ["OFF"]
+    assert fresh_tracer.sample() is False
+    fresh_tracer.flush()  # buffered records were dropped; still no raise
+
+
 def test_trace_log_frequency_buffers(fresh_tracer):
     fresh_tracer.update({"trace_level": ["TIMESTAMPS"], "trace_rate": 1,
                          "log_frequency": 10})
