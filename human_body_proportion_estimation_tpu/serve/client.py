@@ -255,6 +255,50 @@ class HttpClient:
                              body=json.dumps(settings).encode(),
                              content_type="application/json")
 
+    def get_model_repository_index(self, ready: bool = False) -> list:
+        """POST /v2/repository/index — Triton's model-repository HTTP
+        extension (tritonclient.http get_model_repository_index): rows
+        of {name, version, state, reason}. `ready=True` filters to
+        READY models (all of ours are)."""
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout
+        )
+        try:
+            conn.request(
+                "POST", "/v2/repository/index",
+                body=json.dumps({"ready": ready}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            if resp.status != 200:
+                raise RuntimeError(
+                    f"repository index failed: {data.get('error', data)}"
+                )
+            return data
+        finally:
+            conn.close()
+
+    def load_model(self, name: str) -> None:
+        """POST /v2/repository/models/<name>/load (tritonclient.http
+        load_model analog); raises on the extension's 400 error."""
+        out = self._request("POST", f"/v2/repository/models/{name}/load",
+                            body=b"{}", content_type="application/json")
+        if out["_http_status"] != 200:
+            raise RuntimeError(out.get("error", str(out)))
+
+    def unload_model(self, name: str) -> None:
+        """POST /v2/repository/models/<name>/unload (tritonclient.http
+        unload_model analog); raises on the extension's 400 error."""
+        out = self._request(
+            "POST", f"/v2/repository/models/{name}/unload",
+            body=b"{}", content_type="application/json",
+        )
+        if out["_http_status"] != 200:
+            raise RuntimeError(out.get("error", str(out)))
+
     def _request_raw(self, method: str, path: str, body: bytes,
                      headers: Dict[str, str]):
         """Like _request but returns (status, headers, raw bytes) — for

@@ -332,6 +332,25 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                                                 "settings"),
                 },
             },
+            "/v2/repository/index": {"post": {
+                "summary": "Triton model-repository extension: "
+                           "repository index rows {name, version, "
+                           "state, reason}; optional JSON body "
+                           "{\"ready\": true} filters to READY models",
+                "responses": _json_response({"type": "array"}, "index"),
+            }},
+            "/v2/repository/models/{name}/load": {"post": {
+                "summary": "Eagerly load a named model (Triton "
+                           "repository extension; tritonclient "
+                           "load_model); 400 {error} for unknown names",
+                "responses": _json_response({"type": "object"}, "ok"),
+            }},
+            "/v2/repository/models/{name}/unload": {"post": {
+                "summary": "Unload a named model's runner/params "
+                           "(stays registered, reloads on next use); "
+                           "400 {error} for unknown names",
+                "responses": _json_response({"type": "object"}, "ok"),
+            }},
             "/docs": {"get": {
                 "summary": "Interactive Swagger-UI page rendering "
                            "/openapi.json (the FastAPI auto-docs role)",

@@ -653,6 +653,53 @@ def make_handler(app: ServingApp):
             except (ValueError, json.JSONDecodeError) as e:
                 self._send_json({"error": str(e)}, 400)
 
+        def _v2_repository(self):
+            """POST /v2/repository/index and
+            POST /v2/repository/models/<name>/load|unload — Triton's
+            model-repository HTTP extension (the routes
+            tritonclient.http get_model_repository_index / load_model /
+            unload_model drive; the reference runs stock Triton whose
+            server exposes them, README.md:47-80). Index accepts an
+            optional JSON body {"ready": bool} and returns the
+            repository rows; load/unload return an empty 200 on success
+            and the extension's {"error": ...} 400 otherwise."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                if self.path == "/v2/repository/index":
+                    doc = json.loads(body or b"{}")
+                    if not isinstance(doc, dict):
+                        raise ValueError("body must be a JSON object")
+                    ready_only = bool(doc.get("ready", False))
+                    rows = [
+                        {"name": r["name"], "version": r["version"],
+                         "state": r["state"], "reason": ""}
+                        for r in app.registry.index()
+                        if not ready_only or r["state"] == "READY"
+                    ]
+                    self._send_json(rows)
+                    return
+                prefix = "/v2/repository/models/"
+                if not self.path.startswith(prefix):
+                    self._send_json({"detail": "Not Found"}, 404)
+                    return
+                parts = self.path[len(prefix):].split("/")
+                if len(parts) != 2 or parts[1] not in ("load", "unload"):
+                    self._send_json({"detail": "Not Found"}, 404)
+                    return
+                name, action = parts
+                try:
+                    (app.registry.load if action == "load"
+                     else app.registry.unload)(name)
+                except KeyError as e:
+                    # Triton's extension reports failures as 400 +
+                    # {"error": ...}, including unknown model names
+                    self._send_json({"error": str(e)}, 400)
+                    return
+                self._send_json({})
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send_json({"error": str(e)}, 400)
+
         def _v2_infer(self):
             """POST /v2/models/<name>[/versions/<v>]/infer — the KServe-v2
             HTTP inference protocol, completing the HTTP mirror of the
@@ -823,6 +870,9 @@ def make_handler(app: ServingApp):
                     return
                 if self.path in ("/v2/logging", "/v2/trace/setting"):
                     self._v2_settings_update()
+                    return
+                if self.path.startswith("/v2/repository/"):
+                    self._v2_repository()
                     return
                 self._send_json({"detail": "Not Found"}, 404)
                 return

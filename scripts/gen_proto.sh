@@ -7,5 +7,5 @@ cd "$(dirname "$0")/.."
 protoc \
   --proto_path=human_body_proportion_estimation_tpu/serve \
   --python_out=human_body_proportion_estimation_tpu/serve \
-  hbpe.proto
-echo "wrote human_body_proportion_estimation_tpu/serve/hbpe_pb2.py"
+  hbpe.proto kserve.proto
+echo "wrote human_body_proportion_estimation_tpu/serve/{hbpe,kserve}_pb2.py"

@@ -166,6 +166,10 @@ def _get(port, path):
     return resp.status, data
 
 
+def _post_json(port, path, doc):
+    return _post(port, path, json.dumps(doc).encode(), "application/json")
+
+
 def test_index_route(served_app):
     port, _ = served_app
     status, data = _get(port, "/")
@@ -642,6 +646,47 @@ def test_v2_health_and_model_config(served_app):
     assert client.model_metadata("hrnet", version="2")["_http_status"] == 404
     assert client.model_config("nope")["_http_status"] == 404
     status, _ = _get(port, "/v2/models/hrnet/bogus")
+    assert status == 404
+
+
+def test_v2_repository_extension(served_app):
+    """Triton's model-repository HTTP extension: POST
+    /v2/repository/index and POST /v2/repository/models/<name>/load|
+    unload (the routes tritonclient.http drives; reference runs stock
+    Triton, README.md:47-80)."""
+    from human_body_proportion_estimation_tpu.serve.client import HttpClient
+
+    port, _ = served_app
+    client = HttpClient("127.0.0.1", port)
+
+    rows = client.get_model_repository_index()
+    names = {r["name"] for r in rows}
+    assert "hrnet" in names and "ensemble_edet4_person_det_pose" in names
+    assert all(set(r) == {"name", "version", "state", "reason"}
+               for r in rows)
+    assert all(r["state"] == "READY" for r in rows)
+    assert client.get_model_repository_index(ready=True) == rows
+
+    # load -> loaded; unload -> released (model stays registered)
+    client.load_model("hrnet")
+    idx = {m["name"]: m for m in client.models()["models"]}
+    assert idx["hrnet"]["loaded"] is True
+    client.unload_model("hrnet")
+    idx = {m["name"]: m for m in client.models()["models"]}
+    assert idx["hrnet"]["loaded"] is False
+
+    # unknown model -> the extension's 400 {"error": ...}
+    for action in ("load", "unload"):
+        status, doc = _post_json(
+            port, f"/v2/repository/models/ghost/{action}", {})
+        assert status == 400 and "error" in doc
+    with pytest.raises(RuntimeError):
+        client.load_model("ghost")
+    # malformed index body -> 400
+    status, doc = _post_json(port, "/v2/repository/index", [1, 2])
+    assert status == 400 and "error" in doc
+    # unknown repository subroute -> 404
+    status, _ = _post_json(port, "/v2/repository/bogus", {})
     assert status == 404
 
 
