@@ -11,9 +11,19 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU backend optimization level 1: the suite's wall time is
+# dominated by XLA:CPU *compiles* of tiny test programs on the single
+# shared core, not by their execution. Measured on the heaviest mesh
+# module (test_sharded_serving.py, cold cache): default 222 s, level 1
+# 177 s, level 0 203 s (slower — execution cost outweighs the compile
+# saving). Applied suite-wide; opt out with HBPE_PYTEST_XLA_OPT=default,
+# or pick a level explicitly. Numerics: every oracle-parity suite passes
+# at level 1 (tolerances already absorb bf16/fusion variation).
+_opt = os.environ.get("HBPE_PYTEST_XLA_OPT", "1")
+if _opt != "default" and "xla_backend_optimization_level" not in _flags:
+    _flags = f"{_flags} --xla_backend_optimization_level={_opt}"
+os.environ["XLA_FLAGS"] = _flags
 # keep TF (used only as a parity oracle) off any accelerator and quiet
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
