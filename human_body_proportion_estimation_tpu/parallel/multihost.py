@@ -222,12 +222,15 @@ class MultiHostServing:
 def make_multihost_pipeline(
     config=None, det_config=None, rng_seed: int = 0,
     det_vars: Any = None, pose_vars: Any = None, detector: str | None = None,
+    pose=None,
 ):
     """Build (InferencePipeline, MultiHostServing) on the global mesh.
 
     Every process calls this with identical arguments; determinism of
     init (same seed) or a shared checkpoint dir guarantees replicated
-    params are consistent across hosts.
+    params are consistent across hosts. `pose`: pre-built pose model
+    passthrough (InferencePipeline's escape hatch — reduced-shape tests,
+    custom architectures).
     """
     from human_body_proportion_estimation_tpu.models.efficientdet import (
         EFFICIENTDET_LITE4,
@@ -245,6 +248,7 @@ def make_multihost_pipeline(
         pose_vars=pose_vars,
         detector=detector,
         mesh=mesh,
+        pose=pose,
         place_params=False,
     )
     serving = MultiHostServing(

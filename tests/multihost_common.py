@@ -6,21 +6,34 @@ import numpy as np
 
 
 def tiny_config():
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
     from human_body_proportion_estimation_tpu.utils.config import (
         DetectorConfig,
         PipelineConfig,
         PoseConfig,
     )
+    from tests.tiny_models import tiny_edet_config
 
     cfg = PipelineConfig(
         detector=DetectorConfig(input_height=128, input_width=128),
         pose=PoseConfig(crop_height=64, crop_width=64,
                         heatmap_height=16, heatmap_width=16),
     )
-    return cfg, EFFICIENTDET_LITE0
+    return cfg, tiny_edet_config()
+
+
+def pipeline_kwargs():
+    """Identical InferencePipeline/make_multihost_pipeline kwargs for the
+    in-process reference and every spawned worker (determinism contract:
+    same seed + same architecture => identical replicated params).
+    Depth-reduced models: the property under test is multi-process
+    lockstep equality, which is architecture-depth-independent — and the
+    workers' XLA:CPU compile of the fused program dominated the old test
+    wall time."""
+    from tests.tiny_models import tiny_hrnet
+
+    cfg, det_cfg = tiny_config()
+    return dict(config=cfg, det_config=det_cfg, rng_seed=0,
+                pose=tiny_hrnet())
 
 
 def make_batch(b: int = 8):

@@ -28,7 +28,11 @@ def pipe():
         detector=DetectorConfig(max_persons=3),
         pose=PoseConfig(),
     )
-    p = BottomUpPipeline(cfg)
+    from tests.tiny_models import tiny_higherhrnet
+
+    # depth-reduced model: these are shape/contract tests on random
+    # weights; full-depth evidence lives in torch forward-equivalence
+    p = BottomUpPipeline(cfg, model=tiny_higherhrnet())
     p.INPUT_HW = (128, 128)  # tiny input for CPU tests
     return p
 

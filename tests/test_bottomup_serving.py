@@ -32,7 +32,9 @@ def bu_server():
     )
 
     cfg = PipelineConfig(serve=ServeConfig(max_batch=4, batch_timeout_ms=5))
-    pipe = BottomUpPipeline(cfg)
+    from tests.tiny_models import tiny_higherhrnet
+
+    pipe = BottomUpPipeline(cfg, model=tiny_higherhrnet())
     pipe.INPUT_HW = (128, 128)  # tiny input for CPU tests
     app = ServingApp(pipe)
     server = create_server(app, "127.0.0.1", 0)

@@ -26,10 +26,21 @@ def test_bottomup_dp_sharded_matches_single_device():
             for _ in range(8)]
 
     # f32: bf16 accumulation-order drift between batch-8 and per-shard
-    # convs reaches ~15% through the deep trunk and would swamp the check
-    single = BottomUpPipeline(rng_seed=0, dtype=jnp.float32)
+    # convs reaches ~15% through the deep trunk and would swamp the check.
+    # Depth-reduced W32 (same branches/channels): the property under test
+    # is shard==single EQUALITY of the dp program, which is depth-
+    # independent; full-depth forward evidence lives in the torch
+    # forward-equivalence and chip certification suites.
+    from human_body_proportion_estimation_tpu.models.higherhrnet import (
+        HigherHRNet,
+    )
+    from tests.tiny_models import tiny_w32_config
+
+    tiny = HigherHRNet(config=tiny_w32_config(), dtype=jnp.float32)
+    single = BottomUpPipeline(rng_seed=0, dtype=jnp.float32, model=tiny)
     single.INPUT_HW = (128, 128)
-    sharded = BottomUpPipeline(rng_seed=0, mesh=mesh, dtype=jnp.float32)
+    sharded = BottomUpPipeline(rng_seed=0, mesh=mesh, dtype=jnp.float32,
+                               model=tiny)
     sharded.INPUT_HW = (128, 128)
 
     # packed outputs pass hard peak/validity thresholds, so with RANDOM

@@ -68,12 +68,16 @@ def test_sharded_bottomup_train_step_runs_and_learns():
         HigherHRNet,
     )
     from human_body_proportion_estimation_tpu.models.hrnet import HRNET_W32
+    from tests.tiny_models import tiny_w32_config
     from human_body_proportion_estimation_tpu.parallel import mesh as M
     from human_body_proportion_estimation_tpu.training.trainer import (
         create_train_state,
     )
 
-    model = HigherHRNet(config=HRNET_W32, dtype=jnp.float32)
+    # depth-reduced W32 (same branches/channels — TP stays non-vacuous):
+    # this certifies the sharded AE train-step machinery, not model
+    # scale; full-depth evidence is the chip certification (certify.py)
+    model = HigherHRNet(config=tiny_w32_config(), dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)
     h, w = 64, 32
     state, tx = create_train_state(model, rng, (1, h, w, 3), 1e-3)

@@ -21,24 +21,10 @@ def media_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def tiny_pipeline():
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
-    from human_body_proportion_estimation_tpu.pipeline.host import (
-        InferencePipeline,
-    )
-    from human_body_proportion_estimation_tpu.utils.config import (
-        DetectorConfig,
-        PipelineConfig,
-        PoseConfig,
-    )
+    # canonical tiny shapes + depth-reduced models (tests/tiny_models.py)
+    from tests.tiny_models import make_tiny_pipeline
 
-    cfg = PipelineConfig(
-        detector=DetectorConfig(input_height=128, input_width=128),
-        pose=PoseConfig(crop_height=64, crop_width=64,
-                        heatmap_height=16, heatmap_width=16),
-    )
-    return InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    return make_tiny_pipeline()
 
 
 def test_run_pdet_pose_structure_and_rendering(media_dir, tiny_pipeline,

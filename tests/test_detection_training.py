@@ -2,6 +2,8 @@
 target/decode round trip, focal-loss semantics, and a sharded train step
 that descends on a tiny overfit task (8-device virtual CPU mesh)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -113,7 +115,8 @@ def test_sharded_det_train_step_runs_and_descends():
     """One tiny EfficientDet on the ('data','model') mesh: three steps on
     a fixed batch must strictly decrease the loss."""
     cfg = E.EfficientDetConfig(
-        backbone=E.EFFICIENTDET_LITE0.backbone,
+        backbone=dataclasses.replace(E.EFFICIENTDET_LITE0.backbone,
+                                     depth_mult=0.1),
         fpn_channels=24,
         fpn_repeats=1,
         head_repeats=1,
@@ -150,7 +153,8 @@ def test_class_head_focal_prior_bias_init():
     first-step loss is ~|anchors|*alpha*log(1/0.99) small instead of the
     ~35k blowup the r03 chip run opened with."""
     cfg = E.EfficientDetConfig(
-        backbone=E.EFFICIENTDET_LITE0.backbone,
+        backbone=dataclasses.replace(E.EFFICIENTDET_LITE0.backbone,
+                                     depth_mult=0.1),
         fpn_channels=24, fpn_repeats=1, head_repeats=1, num_classes=4,
     )
     model = E.EfficientDet(config=cfg, dtype=jnp.float32)
@@ -172,7 +176,8 @@ def test_det_train_state_schedule_and_clip():
     LR 0), later updates are non-zero, and a huge gradient's update is
     bounded by the clipped Adam step size."""
     cfg = E.EfficientDetConfig(
-        backbone=E.EFFICIENTDET_LITE0.backbone,
+        backbone=dataclasses.replace(E.EFFICIENTDET_LITE0.backbone,
+                                     depth_mult=0.1),
         fpn_channels=24, fpn_repeats=1, head_repeats=1, num_classes=4,
     )
     model = E.EfficientDet(config=cfg, dtype=jnp.float32)

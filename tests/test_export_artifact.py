@@ -29,12 +29,10 @@ from human_body_proportion_estimation_tpu.utils.config import (
 
 @pytest.fixture(scope="module")
 def tiny_pipeline():
-    cfg = PipelineConfig(
-        detector=DetectorConfig(input_height=128, input_width=128),
-        pose=PoseConfig(crop_height=64, crop_width=64,
-                        heatmap_height=16, heatmap_width=16),
-    )
-    return InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    # canonical tiny shapes + depth-reduced models (tests/tiny_models.py)
+    from tests.tiny_models import make_tiny_pipeline
+
+    return make_tiny_pipeline()
 
 
 def test_export_restore_run_matches_live(tiny_pipeline, tmp_path, rng):
@@ -155,7 +153,10 @@ def test_bottomup_export_restore_matches_live(tmp_path, rng):
         export_serving_artifact,
     )
 
-    live = BottomUpPipeline()
+    from tests.tiny_models import tiny_higherhrnet
+
+    # depth-reduced model: export/restore equality is depth-independent
+    live = BottomUpPipeline(model=tiny_higherhrnet())
     live.INPUT_HW = (128, 128)  # tiny input for CPU tests
     d = export_serving_artifact(live, str(tmp_path / "bu"), batch_size=2)
     assert not os.path.exists(os.path.join(d, "det"))
@@ -248,9 +249,12 @@ def test_yolo_backend_export_restore_matches_live(tmp_path, rng):
         pose=PoseConfig(crop_height=64, crop_width=64,
                         heatmap_height=16, heatmap_width=16),
     )
+    from tests.tiny_models import tiny_hrnet
+
     live = InferencePipeline(
         config=cfg, backend=YoloBackend(cfg, variant="yolov5s",
                                         input_size=128),
+        pose=tiny_hrnet(),
     )
     d = export_serving_artifact(live, str(tmp_path / "yolo"), batch_size=2)
 
@@ -310,7 +314,9 @@ def test_bottomup_artifact_dp_sharded_matches_single(tmp_path, rng):
         export_serving_artifact,
     )
 
-    live = BottomUpPipeline()
+    from tests.tiny_models import tiny_higherhrnet
+
+    live = BottomUpPipeline(model=tiny_higherhrnet())
     live.INPUT_HW = (128, 128)
     d = export_serving_artifact(live, str(tmp_path / "bu"), batch_size=1)
 

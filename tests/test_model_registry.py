@@ -54,8 +54,13 @@ def pipeline_and_registry():
     # rng_seed != 0: the registry's standalone fallback inits with
     # PRNGKey(0), so param SHARING with the pipeline is only observable
     # when the pipeline's params differ from that fallback
+    from tests.tiny_models import tiny_edet_config, tiny_hrnet
+
+    # depth-reduced shared models (registry metadata derives from config
+    # shapes, not model depth; standalone slots build their own models)
     pipe = InferencePipeline(config=tiny_config(),
-                             det_config=EFFICIENTDET_LITE0, rng_seed=7)
+                             det_config=tiny_edet_config(),
+                             pose=tiny_hrnet(), rng_seed=7)
     return pipe, build_registry(pipe)
 
 
@@ -620,8 +625,10 @@ def test_dp_sharded_registry_matches_per_row_program():
 
     assert len(jax.devices()) >= 8
     cfg = tiny_config()
-    pipe = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0,
-                             rng_seed=7)
+    from tests.tiny_models import tiny_edet_config, tiny_hrnet
+
+    pipe = InferencePipeline(config=cfg, det_config=tiny_edet_config(),
+                             pose=tiny_hrnet(), rng_seed=7)
     regN = build_registry(pipe, include=["hrnet"], mesh=make_mesh(8))
 
     @jax.jit

@@ -6,6 +6,11 @@ The reference cannot scale past one GPU/host at all (SURVEY §2.3); this
 is the beyond-reference scale-out path. Gloo over localhost stands in for
 DCN; on a TPU pod the same code path uses the TPU coordination service
 and compiler-placed DCN collectives.
+
+Both deployment-matrix phases (live pipeline + restored artifact) ride
+ONE worker spawn (tests/multihost_worker.py runs them back to back over
+the same distributed clique) — the spawn/init/compile cycle dominated
+the old per-test wall time.
 """
 
 import os
@@ -21,7 +26,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-from tests.multihost_common import make_batch, tiny_config
+from tests.multihost_common import make_batch, pipeline_kwargs
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -32,88 +37,37 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_serving_matches_single_process(tmp_path):
-    # single-process reference on the plain (unsharded) pipeline
-    from human_body_proportion_estimation_tpu.pipeline.host import (
-        InferencePipeline,
-    )
-
-    cfg, det_cfg = tiny_config()
-    batch, thresholds, heights, orig_hw = make_batch()
-    single = InferencePipeline(config=cfg, det_config=det_cfg, rng_seed=0)
-    import jax.numpy as jnp
-
-    ref = np.asarray(single._serving_program()(
-        single.det_vars, single.pose_vars, jnp.asarray(batch),
-        jnp.asarray(thresholds), jnp.asarray(heights),
-        jnp.asarray(orig_hw),
-    ))
-
-    port = _free_port()
-    out = str(tmp_path / "packed.npy")
-    env = dict(
-        os.environ,
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
-        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-    )
-    script = os.path.join(REPO, "tests", "multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, script, str(pid), "2", str(port), out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for pid in range(2)
-    ]
-    logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=1500)
-        logs.append(stdout.decode(errors="replace"))
-    assert all(p.returncode == 0 for p in procs), (
-        "worker failures:\n" + "\n----\n".join(logs)
-    )
-    assert "coordinator OK" in logs[0]
-    assert "worker OK" in logs[1]
-
-    packed = np.load(out)
-    assert packed.shape == ref.shape == (8, 3, 23)
-    np.testing.assert_allclose(packed, ref, rtol=1e-4, atol=1e-4)
-
-
-def test_two_process_artifact_serving_matches_single_process(tmp_path):
-    """Deployment-matrix corner: an exported artifact restored by TWO
-    processes over the global 8-device mesh (make_multihost_artifact_
-    serving) reproduces the single-process artifact restore bit-for-bit
-    (each device runs the identical per-device StableHLO program)."""
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
+@pytest.fixture(scope="module")
+def multihost_run(tmp_path_factory):
+    """One 2-process worker run covering both phases; returns the packed
+    results plus the artifact dir for parent-side reference restores."""
     from human_body_proportion_estimation_tpu.pipeline.export import (
-        ServingArtifact,
         export_serving_artifact,
     )
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,
     )
 
-    cfg, det_cfg = tiny_config()
-    pipe = InferencePipeline(config=cfg, det_config=det_cfg, rng_seed=0)
-    d = export_serving_artifact(pipe, str(tmp_path / "art"), batch_size=1)
-
-    batch, thresholds, heights, orig_hw = make_batch()  # 8 = 2 hosts x 4
-    ref = ServingArtifact(d)(batch[:1], thresholds[:1], heights[:1],
-                             orig_hw[:1])
+    tmp = tmp_path_factory.mktemp("multihost")
+    pipe = InferencePipeline(**pipeline_kwargs())
+    artifact_dir = export_serving_artifact(pipe, str(tmp / "art"),
+                                           batch_size=1)
 
     port = _free_port()
-    out = str(tmp_path / "packed.npy")
+    out_live = str(tmp / "live.npy")
+    out_art = str(tmp / "art.npy")
     env = dict(
         os.environ,
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
         PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
+    # the worker composes its own XLA_FLAGS (4 local devices + the
+    # suite's backend opt level); don't leak the parent's 8-device flags
+    env.pop("XLA_FLAGS", None)
     script = os.path.join(REPO, "tests", "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), "2", str(port), out, d],
+            [sys.executable, script, str(pid), "2", str(port),
+             out_live, artifact_dir, out_art],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in range(2)
@@ -125,10 +79,53 @@ def test_two_process_artifact_serving_matches_single_process(tmp_path):
     assert all(p.returncode == 0 for p in procs), (
         "worker failures:\n" + "\n----\n".join(logs)
     )
-    assert "coordinator OK" in logs[0]
-    assert "worker OK" in logs[1]
+    assert "coordinator live OK" in logs[0]
+    assert "worker live OK" in logs[1]
+    assert "coordinator artifact OK" in logs[0]
+    assert "worker artifact OK" in logs[1]
+    return {
+        "live": np.load(out_live),
+        "artifact": np.load(out_art),
+        "artifact_dir": artifact_dir,
+    }
 
-    packed = np.load(out)
+
+def test_two_process_serving_matches_single_process(multihost_run):
+    # single-process reference on the plain (unsharded) pipeline
+    import jax.numpy as jnp
+
+    from human_body_proportion_estimation_tpu.pipeline.host import (
+        InferencePipeline,
+    )
+
+    batch, thresholds, heights, orig_hw = make_batch()
+    single = InferencePipeline(**pipeline_kwargs())
+    ref = np.asarray(single._serving_program()(
+        single.det_vars, single.pose_vars, jnp.asarray(batch),
+        jnp.asarray(thresholds), jnp.asarray(heights),
+        jnp.asarray(orig_hw),
+    ))
+
+    packed = multihost_run["live"]
+    assert packed.shape == ref.shape == (8, 3, 23)
+    np.testing.assert_allclose(packed, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_two_process_artifact_serving_matches_single_process(multihost_run):
+    """Deployment-matrix corner: an exported artifact restored by TWO
+    processes over the global 8-device mesh (make_multihost_artifact_
+    serving) reproduces the single-process artifact restore bit-for-bit
+    (each device runs the identical per-device StableHLO program)."""
+    from human_body_proportion_estimation_tpu.pipeline.export import (
+        ServingArtifact,
+    )
+
+    batch, thresholds, heights, orig_hw = make_batch()  # 8 = 2 hosts x 4
+    ref = ServingArtifact(multihost_run["artifact_dir"])(
+        batch[:1], thresholds[:1], heights[:1], orig_hw[:1]
+    )
+
+    packed = multihost_run["artifact"]
     assert packed.shape == (8, 3, 23)
     # row 0 of the global batch ran on device 0 with the same per-device
     # program and inputs as the single-process restore

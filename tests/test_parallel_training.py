@@ -10,7 +10,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-from human_body_proportion_estimation_tpu.models.hrnet import HRNET_W32, HRNet
+from human_body_proportion_estimation_tpu.models.hrnet import HRNet
 from human_body_proportion_estimation_tpu.parallel import mesh as M
 from human_body_proportion_estimation_tpu.training import trainer as T
 
@@ -50,7 +50,13 @@ def test_heatmap_targets_peak_location():
 
 
 def test_sharded_train_step_runs_and_descends():
-    model = HRNet(config=HRNET_W32, dtype=jnp.float32)
+    # Depth-reduced W32 (same four branches / channel widths, so the TP
+    # partitioning below is non-vacuous): this test certifies the sharded
+    # train-step machinery, not model scale — full-depth W32 training is
+    # certified on the real chip (cli/certify.py). ~5x suite-time cut.
+    from tests.tiny_models import tiny_w32_config
+
+    model = HRNet(config=tiny_w32_config(), dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)
     state, tx = T.create_train_state(model, rng, (1, 64, 32, 3), 1e-3)
 

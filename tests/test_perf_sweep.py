@@ -35,8 +35,9 @@ def tiny_server():
                         heatmap_height=16, heatmap_width=16),
         serve=ServeConfig(max_batch=4, batch_timeout_ms=3),
     )
-    app = ServingApp(InferencePipeline(config=cfg,
-                                       det_config=EFFICIENTDET_LITE0))
+    from tests.tiny_models import make_tiny_pipeline
+
+    app = ServingApp(make_tiny_pipeline(cfg=cfg))
     server = create_server(app, "127.0.0.1", 0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -104,8 +105,9 @@ def tiny_server_with_grpc():
                         heatmap_height=16, heatmap_width=16),
         serve=ServeConfig(max_batch=4, batch_timeout_ms=3),
     )
-    app = ServingApp(InferencePipeline(config=cfg,
-                                       det_config=EFFICIENTDET_LITE0))
+    from tests.tiny_models import make_tiny_pipeline
+
+    app = ServingApp(make_tiny_pipeline(cfg=cfg))
     server, port = create_grpc_server(app, "127.0.0.1", 0)
     server.start()
     yield port

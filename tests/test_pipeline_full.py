@@ -51,14 +51,10 @@ def test_select_persons_none_found():
 
 @pytest.fixture(scope="module")
 def tiny_pipeline():
-    # shrunken config: lite0 detector at 128x128, full-size HRNet crop is
-    # replaced by a small one to keep CPU runtime reasonable
-    cfg = PipelineConfig(
-        detector=DetectorConfig(input_height=128, input_width=128),
-        pose=PoseConfig(crop_height=64, crop_width=64,
-                        heatmap_height=16, heatmap_width=16),
-    )
-    return InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    # canonical tiny shapes + depth-reduced models (tests/tiny_models.py)
+    from tests.tiny_models import make_tiny_pipeline
+
+    return make_tiny_pipeline()
 
 
 def test_end_to_end_shapes_and_finiteness(tiny_pipeline, rng):

@@ -23,7 +23,17 @@ def higher_pipeline():
         pose=PoseConfig(name="higherhrnet", crop_height=64, crop_width=64,
                         heatmap_height=32, heatmap_width=32),
     )
-    return InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    from human_body_proportion_estimation_tpu.models.higherhrnet import (
+        HigherHRNetHeatmaps,
+    )
+    from tests.tiny_models import tiny_edet_config, tiny_w32_config
+
+    # depth-reduced models: this suite certifies the 1/2-res heatmap
+    # contract through the fused pipeline, which is depth-independent
+    return InferencePipeline(
+        config=cfg, det_config=tiny_edet_config(),
+        pose=HigherHRNetHeatmaps(config=tiny_w32_config()),
+    )
 
 
 def test_higherhrnet_pipeline_runs(higher_pipeline, rng):

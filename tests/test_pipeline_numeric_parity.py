@@ -33,7 +33,11 @@ def pipeline():
         pose=PoseConfig(crop_height=64, crop_width=64,
                         heatmap_height=16, heatmap_width=16),
     )
-    return InferencePipeline(config=cfg)
+    from tests.tiny_models import tiny_hrnet
+
+    # real-weight SSD detector + depth-reduced pose (random weights
+    # either way; the property under test is pipeline math, not depth)
+    return InferencePipeline(config=cfg, pose=tiny_hrnet())
 
 
 def test_device_tail_matches_reference_math(pipeline, rng):

@@ -29,7 +29,10 @@ def yolo_pipeline():
                         heatmap_height=16, heatmap_width=16),
     )
     backend = YoloBackend(cfg, variant="yolov5s", input_size=128)
-    return InferencePipeline(config=cfg, backend=backend)
+    from tests.tiny_models import tiny_hrnet
+
+    return InferencePipeline(config=cfg, backend=backend,
+                             pose=tiny_hrnet())
 
 
 def test_yolo_end_to_end_shapes_and_finiteness(yolo_pipeline, rng):
@@ -84,5 +87,8 @@ def test_yolo_backend_weights_flagged_random():
                         heatmap_height=8, heatmap_width=8),
     )
     backend = YoloBackend(cfg, variant="yolov5s", input_size=64)
-    pipe = InferencePipeline(config=cfg, backend=backend)
+    from tests.tiny_models import tiny_hrnet
+
+    pipe = InferencePipeline(config=cfg, backend=backend,
+                             pose=tiny_hrnet())
     assert pipe.weights_origin == {"detector": "random", "pose": "random"}

@@ -130,7 +130,9 @@ def served_app():
                         heatmap_height=16, heatmap_width=16),
         serve=ServeConfig(max_batch=4, batch_timeout_ms=5),
     )
-    pipeline = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    from tests.tiny_models import make_tiny_pipeline
+
+    pipeline = make_tiny_pipeline(cfg=cfg)
     app = ServingApp(pipeline)
     server = create_server(app, "127.0.0.1", 0)
     port = server.server_address[1]
@@ -443,7 +445,9 @@ def test_prewarm_compiles_every_batch_bucket():
                         heatmap_height=16, heatmap_width=16),
         serve=ServeConfig(max_batch=4),
     )
-    pipeline = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    from tests.tiny_models import make_tiny_pipeline
+
+    pipeline = make_tiny_pipeline(cfg=cfg)
     assert getattr(pipeline, "prewarmed", False) is False
     warmed = prewarm_serving(pipeline)
     assert warmed == [1, 2, 4]

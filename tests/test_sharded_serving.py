@@ -34,10 +34,11 @@ def cfg():
 
 def test_sharded_serving_matches_single_device(cfg, rng):
     mesh = make_mesh(8)  # 8-way data parallel on the virtual CPU mesh
-    single = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0,
-                               rng_seed=0)
-    sharded = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0,
-                                rng_seed=0, mesh=mesh)
+    from tests.tiny_models import make_tiny_pipeline
+
+    # depth-reduced models: shard==single equality is depth-independent
+    single = make_tiny_pipeline(cfg=cfg, rng_seed=0)
+    sharded = make_tiny_pipeline(cfg=cfg, rng_seed=0, mesh=mesh)
 
     imgs = [rng.integers(0, 256, (160, 200, 3), dtype=np.uint8)
             for _ in range(8)]
@@ -64,8 +65,9 @@ def _device_args(pipe, imgs):
 
 def test_sharded_batch_rounds_to_shard_multiple(cfg, rng):
     mesh = make_mesh(8)
-    pipe = InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0,
-                             mesh=mesh)
+    from tests.tiny_models import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline(cfg=cfg, mesh=mesh)
     # 3 images must still work (padded up to a multiple of 8)
     imgs = [rng.integers(0, 256, (100, 100, 3), dtype=np.uint8)
             for _ in range(3)]

@@ -83,14 +83,15 @@ def test_batch_iterator_shapes(rng):
 def test_training_loop_overfits_tiny_set(rng, tmp_path):
     import jax.numpy as jnp
 
-    from human_body_proportion_estimation_tpu.models.hrnet import (
-        HRNET_W32,
-        HRNet,
-    )
+    from human_body_proportion_estimation_tpu.models.hrnet import HRNet
     from human_body_proportion_estimation_tpu.training.loop import train_pose
 
     samples = [_sample(rng, 96, 64) for _ in range(4)]
-    model = HRNet(config=HRNET_W32, dtype=jnp.float32)
+    # depth-reduced W32: the overfit loop certifies data plumbing +
+    # checkpointing + descent, not model scale (chip run: cli/certify.py)
+    from tests.tiny_models import tiny_w32_config
+
+    model = HRNet(config=tiny_w32_config(), dtype=jnp.float32)
     state, losses = train_pose(
         model, samples, steps=6, batch_size=2, crop_hw=(64, 32),
         learning_rate=1e-3, checkpoint_dir=str(tmp_path / "ck"),

@@ -43,12 +43,10 @@ def tiny_pipeline():
         PoseConfig,
     )
 
-    cfg = PipelineConfig(
-        detector=DetectorConfig(input_height=128, input_width=128),
-        pose=PoseConfig(crop_height=64, crop_width=64,
-                        heatmap_height=16, heatmap_width=16),
-    )
-    return InferencePipeline(config=cfg, det_config=EFFICIENTDET_LITE0)
+    # canonical tiny shapes + depth-reduced models (tests/tiny_models.py)
+    from tests.tiny_models import make_tiny_pipeline
+
+    return make_tiny_pipeline()
 
 
 def test_video_mode_end_to_end(tiny_pipeline, tmp_path, rng):
