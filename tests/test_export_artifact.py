@@ -10,9 +10,6 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-from human_body_proportion_estimation_tpu.models.efficientdet import (
-    EFFICIENTDET_LITE0,
-)
 from human_body_proportion_estimation_tpu.pipeline.export import (
     ServingArtifact,
     export_serving_artifact,

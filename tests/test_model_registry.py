@@ -41,9 +41,6 @@ def tiny_config():
 
 @pytest.fixture(scope="module")
 def pipeline_and_registry():
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,
     )
@@ -612,9 +609,6 @@ def test_dp_sharded_registry_matches_per_row_program():
     import jax
     import jax.numpy as jnp
 
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
     from human_body_proportion_estimation_tpu.parallel.mesh import make_mesh
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,

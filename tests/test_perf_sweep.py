@@ -12,12 +12,6 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def tiny_server():
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
-    from human_body_proportion_estimation_tpu.pipeline.host import (
-        InferencePipeline,
-    )
     from human_body_proportion_estimation_tpu.serve.server import (
         ServingApp,
         create_server,
@@ -82,12 +76,6 @@ import pytest as _pytest
 def tiny_server_with_grpc():
     import threading
 
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
-    from human_body_proportion_estimation_tpu.pipeline.host import (
-        InferencePipeline,
-    )
     from human_body_proportion_estimation_tpu.serve.grpc_server import (
         create_grpc_server,
     )

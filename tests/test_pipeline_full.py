@@ -6,18 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from human_body_proportion_estimation_tpu.models.efficientdet import (
-    EFFICIENTDET_LITE0,
-)
 from human_body_proportion_estimation_tpu.pipeline.full import select_persons
 from human_body_proportion_estimation_tpu.pipeline.host import (
-    InferencePipeline,
     format_image_result,
-)
-from human_body_proportion_estimation_tpu.utils.config import (
-    DetectorConfig,
-    PipelineConfig,
-    PoseConfig,
 )
 
 

@@ -3,9 +3,6 @@
 import numpy as np
 import pytest
 
-from human_body_proportion_estimation_tpu.models.efficientdet import (
-    EFFICIENTDET_LITE0,
-)
 from human_body_proportion_estimation_tpu.pipeline.host import (
     InferencePipeline,
 )

@@ -11,9 +11,6 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-from human_body_proportion_estimation_tpu.models.efficientdet import (
-    EFFICIENTDET_LITE0,
-)
 from human_body_proportion_estimation_tpu.pipeline.host import (
     InferencePipeline,
 )

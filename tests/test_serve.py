@@ -107,9 +107,6 @@ def test_parse_multipart_malformed():
 def served_app():
     import cv2
 
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,
     )
@@ -425,9 +422,6 @@ def test_prewarm_compiles_every_batch_bucket():
     """--prewarm runs the serving program at every power-of-two bucket so
     first requests never stall on XLA compile (Triton READY-after-load
     analog, reference README :56-64); /health then reports prewarmed."""
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
     from human_body_proportion_estimation_tpu.pipeline.host import (
         InferencePipeline,
         prewarm_serving,

@@ -9,13 +9,7 @@ pytestmark = pytest.mark.slow
 
 import jax
 
-from human_body_proportion_estimation_tpu.models.efficientdet import (
-    EFFICIENTDET_LITE0,
-)
 from human_body_proportion_estimation_tpu.parallel.mesh import make_mesh
-from human_body_proportion_estimation_tpu.pipeline.host import (
-    InferencePipeline,
-)
 from human_body_proportion_estimation_tpu.utils.config import (
     DetectorConfig,
     PipelineConfig,

@@ -31,17 +31,6 @@ FIXTURES = {
 
 @pytest.fixture(scope="module")
 def tiny_pipeline():
-    from human_body_proportion_estimation_tpu.models.efficientdet import (
-        EFFICIENTDET_LITE0,
-    )
-    from human_body_proportion_estimation_tpu.pipeline.host import (
-        InferencePipeline,
-    )
-    from human_body_proportion_estimation_tpu.utils.config import (
-        DetectorConfig,
-        PipelineConfig,
-        PoseConfig,
-    )
 
     # canonical tiny shapes + depth-reduced models (tests/tiny_models.py)
     from tests.tiny_models import make_tiny_pipeline
