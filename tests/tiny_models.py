@@ -52,7 +52,7 @@ def tiny_edet_config():
     )
 
 
-def make_tiny_pipeline(cfg=None, mesh=None, rng_seed=0, backend=None):
+def make_tiny_pipeline(cfg=None, mesh=None, rng_seed=0):
     """The canonical machinery-test pipeline: tiny shapes (128x128 det,
     64x64 crop, 16x16 heatmap) AND depth-reduced models. Because every
     module builds the identical architecture, the fused program's HLO is
@@ -74,10 +74,9 @@ def make_tiny_pipeline(cfg=None, mesh=None, rng_seed=0, backend=None):
             pose=PoseConfig(crop_height=64, crop_width=64,
                             heatmap_height=16, heatmap_width=16),
         )
-    kw = {} if backend is None else {"backend": backend}
     return InferencePipeline(
         config=cfg, det_config=tiny_edet_config(), pose=tiny_hrnet(),
-        mesh=mesh, rng_seed=rng_seed, **kw,
+        mesh=mesh, rng_seed=rng_seed,
     )
 
 
