@@ -260,26 +260,21 @@ class HttpClient:
         extension (tritonclient.http get_model_repository_index): rows
         of {name, version, state, reason}. `ready=True` filters to
         READY models (all of ours are)."""
-        import http.client
-
-        conn = http.client.HTTPConnection(
-            self.host, self.port, timeout=self.timeout
+        status, _, raw = self._request_raw(
+            "POST", "/v2/repository/index",
+            body=json.dumps({"ready": ready}).encode(),
+            headers={"Content-Type": "application/json"},
         )
-        try:
-            conn.request(
-                "POST", "/v2/repository/index",
-                body=json.dumps({"ready": ready}).encode(),
-                headers={"Content-Type": "application/json"},
-            )
-            resp = conn.getresponse()
-            data = json.loads(resp.read())
-            if resp.status != 200:
-                raise RuntimeError(
-                    f"repository index failed: {data.get('error', data)}"
-                )
-            return data
-        finally:
-            conn.close()
+        if status != 200:
+            # status first: a non-JSON error body (proxy HTML, truncated
+            # response) must surface as the RuntimeError, not a decode
+            # error (review r5)
+            try:
+                detail = json.loads(raw).get("error", raw)
+            except ValueError:
+                detail = raw[:200]
+            raise RuntimeError(f"repository index failed: {detail}")
+        return json.loads(raw)
 
     def load_model(self, name: str) -> None:
         """POST /v2/repository/models/<name>/load (tritonclient.http

@@ -144,7 +144,9 @@ def _classification_rows(arr: np.ndarray, k: int) -> np.ndarray:
     a = np.asarray(arr)
     if a.ndim == 0:
         a = a.reshape(1, 1)
-    rows = a.reshape(a.shape[0], -1)
+    # float64 view for ranking: unary minus raises on bool_ and wraps on
+    # unsigned dtypes — the wire layer supports both (KSERVE_TO_NP)
+    rows = a.reshape(a.shape[0], -1).astype(np.float64)
     k = min(k, rows.shape[1])
     # stable: ties resolve to the lowest index, like np.argmax
     idx = np.argsort(-rows, axis=1, kind="stable")[:, :k]
@@ -348,56 +350,28 @@ def kserve_handlers(app: "ServingApp"):
     def model_stream_infer(request_iterator, context):
         """Triton stream contract: requests pipeline concurrently (so
         same-model requests coalesce in the per-model batcher), responses
-        return in request order, per-request errors ride in-band."""
-        import queue
-        import threading
-        from concurrent import futures
+        return in request order, per-request errors ride in-band — the
+        back-pressure/cancel machinery is shared with the hbpe stream
+        handler (grpc_server.pipelined_stream)."""
+        from human_body_proportion_estimation_tpu.serve.grpc_server import (
+            pipelined_stream,
+        )
 
-        pool = futures.ThreadPoolExecutor(max_workers=8)
-        fq: "queue.Queue" = queue.Queue(maxsize=32)
-        closed = threading.Event()
-
-        def _put(item) -> bool:
-            while not closed.is_set():
-                try:
-                    fq.put(item, timeout=0.5)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def reader():
+        for rid, fut in pipelined_stream(
+            request_iterator, lambda req: run_model_infer(app, req)
+        ):
             try:
-                for req in request_iterator:
-                    if not _put(pool.submit(run_model_infer, app, req)):
-                        return
-            except Exception:  # noqa: BLE001 — client reset mid-stream
-                pass
-            finally:
-                _put(None)
-
-        threading.Thread(target=reader, daemon=True).start()
-        try:
-            while True:
-                fut = fq.get()
-                if fut is None:
-                    break
-                try:
-                    yield kpb.ModelStreamInferResponse(
-                        infer_response=fut.result()
-                    )
-                except Exception as e:  # noqa: BLE001 — in-band error
-                    yield kpb.ModelStreamInferResponse(
-                        error_message=str(e) or type(e).__name__
-                    )
-        finally:
-            closed.set()
-            while True:
-                try:
-                    fq.get_nowait()
-                except queue.Empty:
-                    break
-            pool.shutdown(wait=False, cancel_futures=True)
+                yield kpb.ModelStreamInferResponse(
+                    infer_response=fut.result()
+                )
+            except Exception as e:  # noqa: BLE001 — in-band error, with
+                # the request id echoed so pipelined clients can
+                # correlate the failure (review r5)
+                err = kpb.ModelStreamInferResponse(
+                    error_message=str(e) or type(e).__name__
+                )
+                err.infer_response.id = rid
+                yield err
 
     def model_statistics(request, context):
         try:
@@ -503,10 +477,8 @@ def kserve_handlers(app: "ServingApp"):
                 sv.string_param = str(value)
         return resp
 
-    import grpc as _grpc
-
     def _u(fn, req_cls, resp_cls):
-        return _grpc.unary_unary_rpc_method_handler(
+        return grpc.unary_unary_rpc_method_handler(
             fn,
             request_deserializer=req_cls.FromString,
             response_serializer=resp_cls.SerializeToString,
@@ -527,7 +499,7 @@ def kserve_handlers(app: "ServingApp"):
                           kpb.ModelConfigResponse),
         "ModelInfer": _u(model_infer, kpb.ModelInferRequest,
                          kpb.ModelInferResponse),
-        "ModelStreamInfer": _grpc.stream_stream_rpc_method_handler(
+        "ModelStreamInfer": grpc.stream_stream_rpc_method_handler(
             model_stream_infer,
             request_deserializer=kpb.ModelInferRequest.FromString,
             response_serializer=(
@@ -575,7 +547,7 @@ def kserve_handlers(app: "ServingApp"):
         "LogSettings": _u(log_settings, kpb.LogSettingsRequest,
                           kpb.LogSettingsResponse),
     }
-    return _grpc.method_handlers_generic_handler(SERVICE, handlers)
+    return grpc.method_handlers_generic_handler(SERVICE, handlers)
 
 
 class KServeClient:

@@ -17,11 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 # shared core, not by their execution. Measured on the heaviest mesh
 # module (test_sharded_serving.py, cold cache): default 222 s, level 1
 # 177 s, level 0 203 s (slower — execution cost outweighs the compile
-# saving). Applied suite-wide; opt out with HBPE_PYTEST_XLA_OPT=default,
-# or pick a level explicitly. Numerics: every oracle-parity suite passes
-# at level 1 (tolerances already absorb bf16/fusion variation).
+# saving). Applied suite-wide; opt out with HBPE_PYTEST_XLA_OPT='' or
+# =default (empty matches the HBPE_DRYRUN_OPT convention), or pick a
+# level explicitly. Numerics: every oracle-parity suite passes at
+# level 1 (tolerances already absorb bf16/fusion variation).
 _opt = os.environ.get("HBPE_PYTEST_XLA_OPT", "1")
-if _opt != "default" and "xla_backend_optimization_level" not in _flags:
+if _opt and _opt != "default" and \
+        "xla_backend_optimization_level" not in _flags:
     _flags = f"{_flags} --xla_backend_optimization_level={_opt}"
 os.environ["XLA_FLAGS"] = _flags
 # keep TF (used only as a parity oracle) off any accelerator and quiet

@@ -31,7 +31,8 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=4").strip()
 _opt = os.environ.get("HBPE_PYTEST_XLA_OPT", "1")
-if _opt != "default" and "xla_backend_optimization_level" not in _flags:
+if _opt and _opt != "default" and \
+        "xla_backend_optimization_level" not in _flags:
     _flags = f"{_flags} --xla_backend_optimization_level={_opt}"
 os.environ["XLA_FLAGS"] = _flags
 

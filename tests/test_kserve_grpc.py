@@ -255,6 +255,22 @@ def test_classification_parameter(kserve_app, kclient):
     assert int(top[0].split(":")[1]) == int(np.argmax(flat))
 
 
+def test_classification_rows_bool_and_unsigned():
+    """The ranking view must not negate bool_ (TypeError) or wrap
+    unsigned dtypes (wrong order) — the wire layer's dtype table is a
+    superset of what registry models emit today (review r5)."""
+    from human_body_proportion_estimation_tpu.serve.kserve_grpc import (
+        _classification_rows,
+    )
+
+    b = _classification_rows(np.asarray([[False, True, False]]), 2)
+    assert [int(s.split(b":")[1]) for s in b[0]] == [1, 0]
+    u = _classification_rows(
+        np.asarray([[1, 255, 7]], dtype=np.uint8), 3
+    )
+    assert [int(s.split(b":")[1]) for s in u[0]] == [1, 2, 0]
+
+
 def test_stream_infer(kserve_app, kclient):
     app, _ = kserve_app
     meta = app.registry.metadata("hrnet")
@@ -276,6 +292,9 @@ def test_stream_infer(kserve_app, kclient):
     assert [r["error"] is None for r in results] == \
         [True, True, False, True]
     assert results[0]["outputs"]["output"].shape[0] == 1
+    # in-band errors echo the request id so pipelined clients can
+    # correlate the failure (review r5)
+    assert [r["id"] for r in results] == ["r0", "r1", "bad", "r2"]
 
 
 def test_statistics_and_repository(kserve_app, kclient):
