@@ -284,12 +284,17 @@ class HttpClient:
         if out["_http_status"] != 200:
             raise RuntimeError(out.get("error", str(out)))
 
-    def unload_model(self, name: str) -> None:
+    def unload_model(self, name: str,
+                     unload_dependents: bool = False) -> None:
         """POST /v2/repository/models/<name>/unload (tritonclient.http
-        unload_model analog); raises on the extension's 400 error."""
+        unload_model analog, incl. its unload_dependents parameter);
+        raises on the extension's 400 error."""
+        body = json.dumps(
+            {"parameters": {"unload_dependents": unload_dependents}}
+        ).encode() if unload_dependents else b"{}"
         out = self._request(
             "POST", f"/v2/repository/models/{name}/unload",
-            body=b"{}", content_type="application/json",
+            body=body, content_type="application/json",
         )
         if out["_http_status"] != 200:
             raise RuntimeError(out.get("error", str(out)))

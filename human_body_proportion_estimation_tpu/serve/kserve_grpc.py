@@ -397,8 +397,12 @@ def kserve_handlers(app: "ServingApp"):
         return kpb.RepositoryModelLoadResponse()
 
     def repository_model_unload(request, context):
+        p = request.parameters.get("unload_dependents")
         try:
-            app.registry.unload(request.model_name)
+            app.registry.unload(
+                request.model_name,
+                unload_dependents=bool(p is not None and p.bool_param),
+            )
         except KeyError as e:
             context.abort(grpc.StatusCode.NOT_FOUND, str(e))
         return kpb.RepositoryModelUnloadResponse()
@@ -751,11 +755,12 @@ class KServeClient:
             timeout=timeout,
         )
 
-    def unload_model(self, model_name: str, timeout: float = 60.0) -> None:
-        self._repository_unload(
-            kpb.RepositoryModelUnloadRequest(model_name=model_name),
-            timeout=timeout,
-        )
+    def unload_model(self, model_name: str, timeout: float = 60.0,
+                     unload_dependents: bool = False) -> None:
+        req = kpb.RepositoryModelUnloadRequest(model_name=model_name)
+        if unload_dependents:
+            req.parameters["unload_dependents"].bool_param = True
+        self._repository_unload(req, timeout=timeout)
 
     # -- trace / logging extensions --
 

@@ -584,11 +584,28 @@ class ModelRegistry:
         inference still pays its batch bucket's XLA compile."""
         self._get(name).runner()
 
-    def unload(self, name: str) -> None:
+    # Triton's `unload_dependents` repository-extension parameter: for an
+    # ensemble, also unload its composing models (the reference's ensemble
+    # chains edetlite4_modified -> hrnet through Triton's ensemble
+    # scheduler, conv.py + README :71-80; here the fused program replaces
+    # the DAG, but the composing slots are still separately addressable
+    # repository entries with their own runners).
+    ENSEMBLE_DEPENDENTS = {
+        "ensemble_edet4_person_det_pose": ("edetlite4_modified", "hrnet"),
+    }
+
+    def unload(self, name: str, unload_dependents: bool = False) -> None:
         """Triton's unload_model: free the lazily built runner (device
         params are released unless shared with the serving pipeline);
-        the model stays registered and reloads on next use."""
+        the model stays registered and reloads on next use.
+        `unload_dependents` (the advertised model_repository extension
+        parameter, tritonclient unload_model(unload_dependents=True))
+        additionally unloads the target's composing models."""
         self._get(name).unload()
+        if unload_dependents:
+            for dep in self.ENSEMBLE_DEPENDENTS.get(name, ()):
+                if dep in self._models:
+                    self._models[dep].unload()
 
     def shutdown(self):
         for m in self._models.values():

@@ -688,9 +688,26 @@ def make_handler(app: ServingApp):
                     self._send_json({"detail": "Not Found"}, 404)
                     return
                 name, action = parts
+                # Triton's extension body: {"parameters":
+                # {"unload_dependents": true}} on unload
+                params = {}
+                if body:
+                    doc = json.loads(body)
+                    if not isinstance(doc, dict):
+                        raise ValueError("body must be a JSON object")
+                    params = doc.get("parameters", {}) or {}
+                    if not isinstance(params, dict):
+                        raise ValueError("parameters must be an object")
                 try:
-                    (app.registry.load if action == "load"
-                     else app.registry.unload)(name)
+                    if action == "load":
+                        app.registry.load(name)
+                    else:
+                        app.registry.unload(
+                            name,
+                            unload_dependents=bool(
+                                params.get("unload_dependents", False)
+                            ),
+                        )
                 except KeyError as e:
                     # Triton's extension reports failures as 400 +
                     # {"error": ...}, including unknown model names

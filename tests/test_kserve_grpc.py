@@ -319,6 +319,17 @@ def test_statistics_and_repository(kserve_app, kclient):
         kclient.load_model("nope")
     assert err.value.code() == grpc.StatusCode.NOT_FOUND
 
+    # unload_dependents (the advertised model_repository extension
+    # parameter): unloading the ensemble also unloads its composing
+    # models; without the flag they stay loaded
+    kclient.load_model("hrnet")
+    kclient.unload_model("ensemble_edet4_person_det_pose")
+    assert app.registry._get("hrnet").loaded
+    kclient.unload_model("ensemble_edet4_person_det_pose",
+                         unload_dependents=True)
+    assert not app.registry._get("hrnet").loaded
+    kclient.load_model("hrnet")
+
 
 def test_shared_memory_surface(kclient):
     import grpc

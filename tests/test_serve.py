@@ -673,6 +673,17 @@ def test_v2_repository_extension(served_app):
     idx = {m["name"]: m for m in client.models()["models"]}
     assert idx["hrnet"]["loaded"] is False
 
+    # unload_dependents parameter: the ensemble's composing models are
+    # unloaded with it, untouched without it
+    client.load_model("hrnet")
+    client.unload_model("ensemble_edet4_person_det_pose")
+    idx = {m["name"]: m for m in client.models()["models"]}
+    assert idx["hrnet"]["loaded"] is True
+    client.unload_model("ensemble_edet4_person_det_pose",
+                        unload_dependents=True)
+    idx = {m["name"]: m for m in client.models()["models"]}
+    assert idx["hrnet"]["loaded"] is False
+
     # unknown model -> the extension's 400 {"error": ...}
     for action in ("load", "unload"):
         status, doc = _post_json(
