@@ -317,7 +317,9 @@ class HttpClient:
 
     def infer(self, name: str, inputs: Dict[str, Any],
               output_names=None, version: str = "",
-              binary: bool = True) -> Dict[str, Any]:
+              binary: bool = True,
+              class_counts: Dict[str, int] | None = None
+              ) -> Dict[str, Any]:
         """KServe-v2 HTTP inference (POST /v2/models/<name>/infer) — the
         HTTP twin of GrpcClient.infer. numpy dict in, numpy dict out;
         raises ValueError with the server's KServe {"error": ...} message
@@ -327,7 +329,9 @@ class HttpClient:
         tensors via Triton's binary_tensor_data extension: one JSON
         header (Inference-Header-Content-Length) + raw little-endian
         bytes, both directions — no float->JSON text inflation.
-        binary=False uses pure-JSON `data` arrays."""
+        binary=False uses pure-JSON `data` arrays. `class_counts`
+        ({output: k}) requests Triton's classification extension: those
+        outputs come back as top-k "value:index" BYTES strings."""
         import numpy as np
 
         from human_body_proportion_estimation_tpu.serve.registry import (
@@ -349,7 +353,12 @@ class HttpClient:
                 for k, v in arrs.items()
             ]}
             if output_names:
-                doc["outputs"] = [{"name": n} for n in output_names]
+                doc["outputs"] = [
+                    {"name": n, **({"parameters":
+                                    {"classification": class_counts[n]}}
+                                   if (class_counts or {}).get(n) else {})}
+                    for n in output_names
+                ]
             resp = self._request(
                 "POST", path, json.dumps(doc).encode(),
                 "application/json",
@@ -360,9 +369,15 @@ class HttpClient:
                     f"({resp['_http_status']}): {resp.get('error')}"
                 )
             return {
-                t["name"]: np.asarray(
-                    t["data"], dtype=TRITON_TO_NP[t["datatype"]]
-                ).reshape(t["shape"])
+                t["name"]: (
+                    np.asarray(
+                        [x.encode() for x in t["data"]], dtype=object
+                    ).reshape(t["shape"])
+                    if t["datatype"] == "BYTES" else
+                    np.asarray(
+                        t["data"], dtype=TRITON_TO_NP[t["datatype"]]
+                    ).reshape(t["shape"])
+                )
                 for t in resp["outputs"]
             }
 
@@ -383,10 +398,12 @@ class HttpClient:
                # all outputs binary unless the caller narrows them
                "parameters": {"binary_data_output": True}}
         if output_names:
-            doc["outputs"] = [
-                {"name": n, "parameters": {"binary_data": True}}
-                for n in output_names
-            ]
+            doc["outputs"] = []
+            for n in output_names:
+                p = {"binary_data": True}
+                if (class_counts or {}).get(n):
+                    p["classification"] = class_counts[n]
+                doc["outputs"].append({"name": n, "parameters": p})
         header = json.dumps(doc).encode()
         status, resp_headers, payload = self._request_raw(
             "POST", path, header + b"".join(chunks),
@@ -408,8 +425,24 @@ class HttpClient:
             blob = payload[int(hlen):]
         out, cursor = {}, 0
         for t in reply["outputs"]:
-            dtype = np.dtype(TRITON_TO_NP[t["datatype"]]).newbyteorder("<")
             nbin = (t.get("parameters") or {}).get("binary_data_size")
+            if t["datatype"] == "BYTES":
+                from human_body_proportion_estimation_tpu.serve.kserve_grpc import (  # noqa: E501
+                    deserialize_bytes_tensor,
+                )
+
+                if nbin is not None:
+                    rows = deserialize_bytes_tensor(
+                        blob[cursor:cursor + int(nbin)]
+                    )
+                    cursor += int(nbin)
+                else:
+                    rows = [x.encode() for x in t["data"]]
+                out[t["name"]] = np.asarray(
+                    rows, dtype=object
+                ).reshape(t["shape"])
+                continue
+            dtype = np.dtype(TRITON_TO_NP[t["datatype"]]).newbyteorder("<")
             if nbin is not None:
                 out[t["name"]] = np.frombuffer(
                     blob, dtype=dtype, count=int(nbin) // dtype.itemsize,

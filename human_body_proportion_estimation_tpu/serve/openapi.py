@@ -275,7 +275,9 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
                            "raw little-endian tensor bytes in inputs "
                            "order via parameters.binary_data_size; "
                            "binary outputs via parameters.binary_data / "
-                           "request-level binary_data_output) -> "
+                           "request-level binary_data_output; per-output "
+                           "parameters.classification=k returns top-k "
+                           "'value:index' BYTES rows) -> "
                            "{model_name, model_version, outputs: [...]}; "
                            "the HTTP twin of the gRPC ModelInfer RPC",
                 "parameters": [{
@@ -348,6 +350,8 @@ def build_schema(default_max_frames: int = 0) -> Dict[str, Any]:
             "/v2/repository/models/{name}/unload": {"post": {
                 "summary": "Unload a named model's runner/params "
                            "(stays registered, reloads on next use); "
+                           "body {parameters: {unload_dependents: true}} "
+                           "also unloads an ensemble's composing models; "
                            "400 {error} for unknown names",
                 "responses": _json_response({"type": "object"}, "ok"),
             }},

@@ -507,9 +507,11 @@ def make_handler(app: ServingApp):
                     "name": "human_body_proportion_estimation_tpu",
                     "version": __version__,
                     "extensions": [
-                        "model_repository", "model_repository(unload)",
-                        "statistics", "health", "binary_tensor_data",
-                        "logging", "trace",
+                        "health", "model_repository",
+                        "model_repository(unload_dependents)",
+                        "model_configuration", "statistics",
+                        "binary_tensor_data", "classification",
+                        "parameters", "logging", "trace",
                     ],
                 })
             elif self.path == "/v2/logging":
@@ -823,6 +825,16 @@ def make_handler(app: ServingApp):
                     ))
                     for o in out_specs
                 }
+                # Triton's classification extension: per-output
+                # parameters.classification = k replaces the tensor with
+                # top-k "value:index" BYTES strings
+                class_counts = {
+                    o["name"]: int(
+                        (o.get("parameters") or {}).get("classification", 0)
+                    )
+                    for o in out_specs
+                    if (o.get("parameters") or {}).get("classification")
+                }
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._send_json({"error": f"malformed request: {e}"}, 400)
@@ -839,7 +851,30 @@ def make_handler(app: ServingApp):
                 return
             tensors, chunks = [], []
             for k, v in out.items():
-                if bin_out.get(k, bin_default):
+                if k in class_counts and class_counts[k] > 0:
+                    from human_body_proportion_estimation_tpu.serve.kserve_grpc import (  # noqa: E501
+                        _classification_rows,
+                        serialize_bytes_tensor,
+                    )
+
+                    rows = _classification_rows(v, class_counts[k])
+                    if bin_out.get(k, bin_default):
+                        raw = serialize_bytes_tensor(
+                            [b for b in rows.ravel()]
+                        )
+                        chunks.append(raw)
+                        tensors.append(
+                            {"name": k, "shape": list(rows.shape),
+                             "datatype": "BYTES",
+                             "parameters": {"binary_data_size": len(raw)}}
+                        )
+                    else:
+                        tensors.append(
+                            {"name": k, "shape": list(rows.shape),
+                             "datatype": "BYTES",
+                             "data": [b.decode() for b in rows.ravel()]}
+                        )
+                elif bin_out.get(k, bin_default):
                     raw = np.ascontiguousarray(v).astype(
                         v.dtype.newbyteorder("<"), copy=False
                     ).tobytes()

@@ -766,6 +766,21 @@ def test_v2_http_infer(served_app):
     stats = client.model_stats("hrnet")
     assert stats["model_stats"][0]["inference_count"] >= 2
 
+    # Triton's classification extension on the HTTP route (both
+    # transports): output replaced by top-k "value:index" BYTES rows,
+    # top-1 index equal to the flat argmax of the plain tensor
+    flat = out["output"][0].ravel()
+    for binary in (False, True):
+        rows = client.infer(
+            "hrnet", {"input": x}, output_names=["output"],
+            class_counts={"output": 3}, binary=binary,
+        )["output"]
+        assert rows.shape == (1, 3) and rows.dtype == object
+        top = [r.decode() for r in rows[0]]
+        vals = [float(s.split(":")[0]) for s in top]
+        assert vals == sorted(vals, reverse=True)
+        assert int(top[0].split(":")[1]) == int(np.argmax(flat))
+
     # KServe error contract: 404 unknown model/version, 400 bad input —
     # on BOTH transports (binary errors come back as pure JSON)
     for binary in (False, True):
